@@ -1,0 +1,161 @@
+"""Backward value-iteration engines (SURVEY.md L4).
+
+Two drivers, mirroring the reference's two loop shapes:
+
+* :func:`value_iteration_finite` — fixed number of backward sweeps with an
+  optional per-sweep policy store; the Kirk finite-horizon loop
+  (test/Dynamic_Solver.m:86-102). Runs as one ``lax.scan`` with the value
+  table as donated carry, so the whole solve is a single XLA computation.
+
+* :func:`value_iteration_converged` — value iteration with the pos-att
+  early-stopping rule: every ``check_every`` sweeps compare the summed value
+  table against the previous checkpoint and stop when ``|Δ| < tol``
+  (pos-att/Solver_pos_att.m:268-286). Runs as one ``lax.while_loop``;
+  steady-state problems keep only the final policy, like the reference.
+
+Stage-loop semantics note: sweep ``j=0`` is the backup from the terminal cost
+(the reference's ``k = 1`` / ``k_s = N-1``), so for finite-horizon rollout at
+forward stage ``k`` (0-based) the policy to use is ``policies[N-2-k]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.backup import bellman_backup
+from .ops.interp import InterpPlan
+
+__all__ = [
+    "SolveResult",
+    "value_iteration_finite",
+    "value_iteration_converged",
+    "policy_dtype_for",
+]
+
+
+class SolveResult(NamedTuple):
+    values: jax.Array            # final value table V, state-grid shape
+    argmin: jax.Array            # int32 flat-action argmin of the LAST sweep
+    policies: Optional[jax.Array]  # (num_sweeps, *state_shape) or None
+    num_sweeps: jax.Array        # actual sweeps performed (scalar int32)
+    converged: jax.Array         # bool scalar (always False for finite driver)
+
+
+def policy_dtype_for(n_actions: int):
+    """Smallest integer dtype that can index ``n_actions`` actions.
+
+    The reference plans uint8 argmin storage for the same reason
+    (Solver_attitude.m:189-191).
+    """
+    if n_actions <= np.iinfo(np.uint8).max + 1:
+        return jnp.uint8
+    if n_actions <= np.iinfo(np.int16).max + 1:
+        return jnp.int16
+    return jnp.int32
+
+
+def value_iteration_finite(
+    plan: InterpPlan,
+    stage_cost: jax.Array,
+    num_sweeps: int,
+    *,
+    init_values: Optional[jax.Array] = None,
+    store_policies: bool = False,
+    policy_dtype=None,
+) -> SolveResult:
+    """Run exactly ``num_sweeps`` Bellman backups (finite-horizon DP).
+
+    ``num_sweeps`` is the reference's ``N-1`` (terminal cost J_N = 0 is the
+    initial table; each sweep produces the previous stage's value/policy).
+    """
+    state_shape = plan.query_shape[:-1]
+    if init_values is None:
+        v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
+    else:
+        v = jnp.asarray(init_values, dtype=jnp.float32)
+    n_actions = plan.query_shape[-1]
+    pdt = policy_dtype or policy_dtype_for(n_actions)
+
+    def sweep(v, _):
+        res = bellman_backup(v, plan, stage_cost)
+        out = res.argmin.astype(pdt) if store_policies else res.argmin
+        return res.values, out
+
+    if store_policies:
+        values, policies = jax.lax.scan(sweep, v, None, length=num_sweeps)
+        argmin = policies[-1].astype(jnp.int32)
+    else:
+        # keep only the last argmin; avoid stacking
+        def sweep_last(carry, _):
+            v, _ = carry
+            res = bellman_backup(v, plan, stage_cost)
+            return (res.values, res.argmin), None
+
+        (values, argmin), _ = jax.lax.scan(
+            sweep_last, (v, jnp.zeros(state_shape, jnp.int32)), None, length=num_sweeps
+        )
+        policies = None
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=policies if store_policies else None,
+        num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
+        converged=jnp.asarray(False),
+    )
+
+
+def value_iteration_converged(
+    plan: InterpPlan,
+    stage_cost: jax.Array,
+    max_sweeps: int,
+    *,
+    check_every: int = 50,
+    tol: float = 1e-2,
+    init_values: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Value iteration with the reference's periodic-checksum early stop.
+
+    Mirrors pos-att/Solver_pos_att.m:268-286: iterate ``k_s`` from
+    ``max_sweeps`` down to 1; whenever ``k_s % check_every == 0`` (after the
+    sweep at that ``k_s``), compare ``sum(V)`` with the previous checkpoint
+    and stop when ``|Δ| < tol``.
+    """
+    state_shape = plan.query_shape[:-1]
+    if init_values is None:
+        v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
+    else:
+        v = jnp.asarray(init_values, dtype=jnp.float32)
+
+    def cond(carry):
+        _, _, k_s, _, converged = carry
+        return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+
+    def body(carry):
+        v, _, k_s, fsum_prev, _ = carry
+        res = bellman_backup(v, plan, stage_cost)
+        do_check = (k_s % check_every) == 0
+        fsum = jnp.sum(res.values, dtype=jnp.float32)
+        err = fsum - fsum_prev
+        converged = jnp.logical_and(do_check, jnp.abs(err) < tol)
+        fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+        return (res.values, res.argmin, k_s - 1, fsum_prev, converged)
+
+    init = (
+        v,
+        jnp.zeros(state_shape, jnp.int32),
+        jnp.asarray(max_sweeps, jnp.int32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(False),
+    )
+    values, argmin, k_s, _, converged = jax.lax.while_loop(cond, body, init)
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=None,
+        num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
+        converged=converged,
+    )

@@ -1,0 +1,141 @@
+"""Multilinear gridded interpolation with MATLAB ``griddedInterpolant`` parity.
+
+The reference evaluates ``J_{k+1}(f(x,u))`` with a prebuilt linear
+``griddedInterpolant`` (test/Dynamic_Solver.m:83,207;
+pos-att/Solver_pos_att.m:264-272). Two semantics are load-bearing
+(SURVEY.md §7 "hard parts"):
+
+* **linear extrapolation** outside the grid — MATLAB's default for 'linear'
+  interpolants; the reference never clamps. We reproduce it by clamping the
+  *cell index* to ``[0, n-2]`` while leaving the fractional weight unclamped
+  (weights < 0 or > 1 extrapolate the edge cell linearly).
+* evaluation on **rectilinear** (not necessarily uniform) axes — the pos-att
+  ``sym_linspace`` axes have different spacing on each side of zero
+  (pos-att/Solver_pos_att.m:906-918).
+
+Because all reference problems are time-invariant, the query points are fixed
+across stages, so the expensive part — locating each query in the grid — is
+done ONCE on the host side of the stage loop ("interpolation plan"), and the
+per-stage work is a pure gather + fused-multiply-add that XLA keeps on-chip.
+
+Plans hold one (lo, frac) pair per state axis with *broadcast-shaped* arrays:
+separable dynamics (e.g. pos-att: x' depends only on (x,v), w' only on (w,u))
+keep the plan small; XLA broadcasts lazily inside the fused backup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "axis_locate",
+    "InterpPlan",
+    "build_plan",
+    "interp_apply",
+    "interp_eval",
+]
+
+
+def axis_locate(axis_vals, queries, dtype=jnp.float32):
+    """Locate queries on one strictly-ascending 1-D axis.
+
+    Returns ``(lo, frac)``: cell index clipped to ``[0, n-2]`` (int32) and the
+    unclamped fractional position in that cell (``dtype``). ``frac`` outside
+    ``[0, 1]`` encodes linear extrapolation, matching MATLAB
+    ``griddedInterpolant(..., 'linear')`` default extrapolation.
+    """
+    g = jnp.asarray(axis_vals, dtype=dtype)
+    q = jnp.asarray(queries, dtype=dtype)
+    n = g.shape[0]
+    lo = jnp.clip(jnp.searchsorted(g, q, side="right") - 1, 0, n - 2)
+    g_lo = jnp.take(g, lo)
+    g_hi = jnp.take(g, lo + 1)
+    frac = (q - g_lo) / (g_hi - g_lo)
+    return lo.astype(jnp.int32), frac
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class InterpPlan:
+    """Precomputed interpolation stencil for a fixed set of query points.
+
+    ``lo[k]`` / ``frac[k]`` are broadcast-compatible with the full query shape
+    (typically ``(*state_shape, n_actions)``); ``grid_shape`` is the shape of
+    the value table being interpolated. Registered as a pytree with
+    ``grid_shape`` static, so plans pass through ``jit``/``scan`` unchanged.
+    """
+
+    lo: tuple[jax.Array, ...]
+    frac: tuple[jax.Array, ...]
+    grid_shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ndim(self) -> int:
+        return len(self.grid_shape)
+
+    @property
+    def query_shape(self) -> tuple[int, ...]:
+        return np.broadcast_shapes(*(x.shape for x in self.lo), *(x.shape for x in self.frac))
+
+
+def build_plan(axes: Sequence[np.ndarray], queries: Sequence, dtype=jnp.float32) -> InterpPlan:
+    """Build an :class:`InterpPlan` for per-axis query coordinate arrays.
+
+    ``queries[k]`` holds the coordinate of every query point along state axis
+    ``k``; arrays may be broadcast-shaped (singleton dims where the coordinate
+    does not vary).
+    """
+    if len(axes) != len(queries):
+        raise ValueError(f"got {len(axes)} axes but {len(queries)} query arrays")
+    lo, frac = [], []
+    for ax, q in zip(axes, queries):
+        l, f = axis_locate(ax, q, dtype=dtype)
+        lo.append(l)
+        frac.append(f)
+    return InterpPlan(tuple(lo), tuple(frac), tuple(int(np.asarray(a).size) for a in axes))
+
+
+def interp_apply(values: jax.Array, plan: InterpPlan) -> jax.Array:
+    """Evaluate the multilinear interpolant of ``values`` at the plan's queries.
+
+    ``values`` has shape ``plan.grid_shape``; the result has the broadcast
+    query shape. Implemented as ``2**d`` corner gathers from the flattened
+    table with product weights — XLA fuses the weight algebra into the gather
+    consumers and keeps the value table HBM/VMEM-resident.
+    """
+    d = plan.ndim
+    if values.shape != plan.grid_shape:
+        raise ValueError(f"values shape {values.shape} != grid shape {plan.grid_shape}")
+    strides = np.ones(d, dtype=np.int64)
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * plan.grid_shape[k + 1]
+    flat = values.reshape(-1)
+
+    out = None
+    for corner in itertools.product((0, 1), repeat=d):
+        idx = None
+        w = None
+        for k in range(d):
+            ik = plan.lo[k] + corner[k] if corner[k] else plan.lo[k]
+            term = ik * int(strides[k]) if strides[k] != 1 else ik
+            idx = term if idx is None else idx + term
+            fk = plan.frac[k] if corner[k] else (1.0 - plan.frac[k])
+            w = fk if w is None else w * fk
+        contrib = w * jnp.take(flat, idx)
+        out = contrib if out is None else out + contrib
+    return out
+
+
+def interp_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
+    """One-shot interpolation: locate + apply (for rollouts / policy lookup).
+
+    ``points``: sequence of per-axis coordinate arrays (broadcastable).
+    """
+    plan = build_plan(axes, points, dtype=dtype)
+    return interp_apply(jnp.asarray(values, dtype=dtype), plan)

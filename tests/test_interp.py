@@ -1,0 +1,84 @@
+"""Interpolation-kernel unit tests vs the independent numpy oracle.
+
+The TPU-build equivalent of the reference's semantics-exploration tests
+(test/test_griddedInterp.m): correctness on known surfaces, extrapolation
+behavior, rectilinear (sym_linspace) axes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ocdp_tpu import Grid, build_plan, interp_apply, interp_eval, sym_linspace_exact
+from oracle import interp_many
+
+
+@pytest.mark.parametrize("d", [1, 2, 3, 4])
+def test_matches_oracle_random(d):
+    rng = np.random.default_rng(d)
+    axes = []
+    for k in range(d):
+        n = rng.integers(3, 9)
+        ax = np.sort(rng.uniform(-2, 2, size=n)).astype(np.float32)
+        while np.any(np.diff(ax) < 1e-3):
+            ax = np.sort(rng.uniform(-2, 2, size=n)).astype(np.float32)
+        axes.append(ax)
+    values = rng.standard_normal([len(a) for a in axes]).astype(np.float32)
+    # queries: interior, on-grid, and out-of-bounds (extrapolation)
+    pts = np.stack(
+        [rng.uniform(axes[k][0] - 1.0, axes[k][-1] + 1.0, size=64) for k in range(d)],
+        axis=-1,
+    ).astype(np.float32)
+    # include exact grid points
+    for j in range(min(8, pts.shape[0])):
+        for k in range(d):
+            pts[j, k] = axes[k][rng.integers(len(axes[k]))]
+
+    got = interp_eval(values, axes, tuple(pts[:, k] for k in range(d)))
+    want = interp_many(values, axes, pts)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_linear_function_exact_everywhere():
+    # A multilinear interpolant of a linear function reproduces it exactly,
+    # including in the extrapolation region — the acid test for MATLAB-style
+    # linear extrapolation (the reference never clamps; SURVEY.md §7).
+    ax = np.linspace(-1, 1, 11).astype(np.float32)
+    g = Grid((ax, ax))
+    x1, x2 = g.meshgrid()
+    values = 3.0 * x1 - 2.0 * x2 + 0.5
+    q1 = np.array([-5.0, -1.0, 0.0, 2.5, 7.0], np.float32)
+    q2 = np.array([4.0, -3.0, 0.1, -9.0, 1.0], np.float32)
+    got = interp_eval(values, g.axes, (q1, q2))
+    np.testing.assert_allclose(np.asarray(got), 3 * q1 - 2 * q2 + 0.5, rtol=1e-5, atol=1e-5)
+
+
+def test_rectilinear_sym_axis():
+    # pos-att sym_linspace axes have unequal spacing around zero
+    # (Solver_pos_att.m:906-918) — interpolation must honor per-cell widths.
+    ax = sym_linspace_exact(-0.1, 0.1, 30)
+    assert len(ax) == 30
+    assert 0.0 in ax.tolist()
+    d = np.diff(ax.astype(np.float64))
+    assert not np.allclose(d.min(), d.max())
+    values = np.sin(7 * ax).astype(np.float32)
+    q = np.linspace(-0.12, 0.12, 101).astype(np.float32)
+    got = interp_eval(values, (ax,), (q,))
+    want = interp_many(values, (ax,), q[:, None])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_broadcast_plan_shapes():
+    # separable queries: axis-0 coordinate varies only along dims (0, 2);
+    # axis-1 coordinate varies only along dims (1, 2)
+    ax = np.linspace(0, 1, 6).astype(np.float32)
+    rng = np.random.default_rng(0)
+    values = rng.standard_normal((6, 6)).astype(np.float32)
+    qa = rng.uniform(0, 1, size=(4, 1, 3)).astype(np.float32)
+    qb = rng.uniform(0, 1, size=(1, 5, 3)).astype(np.float32)
+    plan = build_plan((ax, ax), (qa, qb))
+    got = np.asarray(interp_apply(jnp.asarray(values), plan))
+    assert got.shape == (4, 5, 3)
+    full = np.stack(np.broadcast_arrays(qa * np.ones((4, 5, 3)), qb * np.ones((4, 5, 3))), -1)
+    want = interp_many(values, (ax, ax), full.reshape(-1, 2)).reshape(4, 5, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
