@@ -1,0 +1,21 @@
+"""Multi-chip execution: state-grid and action-axis sharding over a device mesh.
+
+The reference is a single MATLAB process with no parallelism of any kind
+(SURVEY.md §2.5); this package is the TPU-native scaling layer mandated by the
+north star: shard the DP backup over `jax.sharding.Mesh` axes with XLA
+collectives over ICI.
+"""
+
+from .sharded import (
+    ShardedPlan,
+    shard_backup_inputs,
+    sharded_bellman_sweeps,
+    value_iteration_finite_sharded,
+)
+
+__all__ = [
+    "ShardedPlan",
+    "shard_backup_inputs",
+    "sharded_bellman_sweeps",
+    "value_iteration_finite_sharded",
+]
