@@ -75,9 +75,13 @@ def main():
     sweeps = cfg.N - 1
     evals_per_sweep = cfg.dx * cfg.dx * cfg.du
 
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    backup = build_stencil_backup(problem.plan, problem.stage_cost,
+                                  action_chunk=50)
     run = jax.jit(
         lambda plan, cost: value_iteration_finite(
-            plan, cost, sweeps, store_policies=False
+            plan, cost, sweeps, store_policies=False, backup=backup
         )
     )
 

@@ -66,11 +66,16 @@ def value_iteration_finite(
     init_values: Optional[jax.Array] = None,
     store_policies: bool = False,
     policy_dtype=None,
+    backup=None,
 ) -> SolveResult:
     """Run exactly ``num_sweeps`` Bellman backups (finite-horizon DP).
 
     ``num_sweeps`` is the reference's ``N-1`` (terminal cost J_N = 0 is the
     initial table; each sweep produces the previous stage's value/policy).
+
+    ``backup``: optional callable ``values -> BackupResult`` replacing the
+    default gather-based fused backup — e.g. a
+    :class:`~ocdp_tpu.ops.stencil.StencilBackup` (fast path on TPU).
     """
     state_shape = plan.query_shape[:-1]
     if init_values is None:
@@ -79,9 +84,11 @@ def value_iteration_finite(
         v = jnp.asarray(init_values, dtype=jnp.float32)
     n_actions = plan.query_shape[-1]
     pdt = policy_dtype or policy_dtype_for(n_actions)
+    if backup is None:
+        backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
 
     def sweep(v, _):
-        res = bellman_backup(v, plan, stage_cost)
+        res = backup(v)
         out = res.argmin.astype(pdt) if store_policies else res.argmin
         return res.values, out
 
@@ -92,7 +99,7 @@ def value_iteration_finite(
         # keep only the last argmin; avoid stacking
         def sweep_last(carry, _):
             v, _ = carry
-            res = bellman_backup(v, plan, stage_cost)
+            res = backup(v)
             return (res.values, res.argmin), None
 
         (values, argmin), _ = jax.lax.scan(
@@ -116,6 +123,7 @@ def value_iteration_converged(
     check_every: int = 50,
     tol: float = 1e-2,
     init_values: Optional[jax.Array] = None,
+    backup=None,
 ) -> SolveResult:
     """Value iteration with the reference's periodic-checksum early stop.
 
@@ -130,13 +138,16 @@ def value_iteration_converged(
     else:
         v = jnp.asarray(init_values, dtype=jnp.float32)
 
+    if backup is None:
+        backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
+
     def cond(carry):
         _, _, k_s, _, converged = carry
         return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
 
     def body(carry):
         v, _, k_s, fsum_prev, _ = carry
-        res = bellman_backup(v, plan, stage_cost)
+        res = backup(v)
         do_check = (k_s % check_every) == 0
         fsum = jnp.sum(res.values, dtype=jnp.float32)
         err = fsum - fsum_prev

@@ -26,6 +26,7 @@ from ..engine import SolveResult, value_iteration_finite
 from ..grids import Grid, linspace_axis
 from ..ops.backup import bellman_backup
 from ..ops.interp import InterpPlan, build_plan, interp_eval
+from ..ops.stencil import build_stencil_backup
 
 __all__ = ["KirkConfig", "KirkProblem", "KirkSolution", "build", "solve", "optimal_path"]
 
@@ -99,18 +100,43 @@ def build(config: KirkConfig = KirkConfig()) -> KirkProblem:
     return KirkProblem(config, grid, u_mesh, plan, stage_cost)
 
 
-def solve(config: KirkConfig = KirkConfig(), *, store_policies: bool = True) -> KirkSolution:
-    """Run the N-1 backward sweeps (test/Dynamic_Solver.m:86-102) under jit."""
+def solve(
+    config: KirkConfig = KirkConfig(),
+    *,
+    store_policies: bool = True,
+    impl: str = "stencil",
+) -> KirkSolution:
+    """Run the N-1 backward sweeps (test/Dynamic_Solver.m:86-102) under jit.
+
+    ``impl``: ``"stencil"`` (gather-free banded backup, the fast TPU path) or
+    ``"gather"`` (generic 2^d-corner gather backup). Both compute the same
+    multilinear-interpolation + first-min semantics; values agree to f32
+    rounding.
+    """
     problem = build(config)
+    backup = None
+    if impl == "stencil":
+        chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
+        backup = build_stencil_backup(problem.plan, problem.stage_cost,
+                                      action_chunk=chunk)
+    elif impl != "gather":
+        raise ValueError(f"unknown impl {impl!r}")
 
     @partial(jax.jit, static_argnames=("num_sweeps", "store"))
     def _solve(plan, cost, num_sweeps, store):
         return value_iteration_finite(
-            plan, cost, num_sweeps, store_policies=store
+            plan, cost, num_sweeps, store_policies=store, backup=backup
         )
 
     result = _solve(problem.plan, problem.stage_cost, config.N - 1, store_policies)
     return KirkSolution(problem, result)
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    for c in range(min(cap, n), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
 
 
 def optimal_path(
