@@ -1,0 +1,197 @@
+"""Translational position control: 3 decoupled double-integrator channels.
+
+TPU re-design of ``position-control/Solver_position.m``: each body axis is an
+independent (x, v) problem with on/off/reverse thrust; the reference solves
+the three channels serially (:109-141) — here they are one extra leading
+*channel axis* of the state grid, so a single fused backup sweeps all
+channels at once (the "expert-parallel" analog of SURVEY.md §2.5), and the
+same stencil/gather kernels and sharding layer apply unchanged.
+
+Reference semantics preserved (with file:line cites):
+* ``sym_linspace`` grids with an exact 0 point, 200 -> 201 points
+  (Solver_position.m:363-371 via :97-104).
+* Per-step next states (:152-187): v' = v + h*u/M exactly; x' = x + h*v*c_h
+  where c_h = 1 + h/2 + h^2/6 + h^3/24 — the reference's RK4_x feeds the
+  integrated variable back as its own derivative argument, which amounts to
+  integrating dx/dt = v*e^t; we reproduce the resulting coefficient when
+  ``rk4_x_parity=True`` (default) and use the exact x' = x + h*v otherwise.
+* Quadratic stage cost Qx*x^2 + Qv*v^2 + R*u^2 (:113-121).
+* 6000-sweep value iteration, steady-state policy = final argmin wrapped as
+  a 'nearest' interpolant (:131-146).
+* Closed-loop rollout against relative orbital motion about an eccentric
+  target (:189-311) with RKF45 between stages; the policy output (thruster
+  FORCE, N) is added directly to the km-based CW accelerations — the
+  reference's unit quirk (:216-220 + :304-306) — controlled by
+  ``accel_scale`` (default 1.0 = reference behavior; set 1e-3/Mass for
+  physical m/s^2 -> km/s^2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics.orbital import target_orbit_R0V0
+from ..dynamics.relmotion import cw_relative_rates
+from ..engine import SolveResult, value_iteration_finite
+from ..grids import Grid, sym_linspace_inclusive
+from ..ops.interp import build_plan, nearest_eval
+from ..ops.stencil import build_stencil_backup
+from ..utils.integrators import rkf45_integrate
+
+__all__ = ["PositionConfig", "PositionProblem", "PositionSolution", "build",
+           "solve", "get_optimal_path"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PositionConfig:
+    # grid (Solver_position.m:49-56)
+    x_min: float = -0.5
+    x_max: float = 0.5
+    v_min: float = -0.5
+    v_max: float = 0.5
+    n_mesh_x: int = 200
+    n_mesh_v: int = 200
+    # plant (:58, :84)
+    mass: float = 4.16
+    thrust: float = 0.26
+    # cost, per channel (:61-69)
+    Qx: tuple = (6.0, 6.0, 6.0)
+    Qv: tuple = (6.0, 6.0, 6.0)
+    R: tuple = (0.1, 0.1, 0.1)
+    # horizon (:71-72)
+    T_final: float = 30.0
+    h: float = 0.005
+    # parity knobs (see module docstring)
+    rk4_x_parity: bool = True
+    accel_scale: float = 1.0
+
+    @property
+    def n_stage(self) -> int:
+        return int(np.ceil(self.T_final / self.h))
+
+    @property
+    def u_vector(self) -> np.ndarray:
+        return np.array([-self.thrust, 0.0, self.thrust], np.float32)
+
+    @property
+    def n_channels(self) -> int:
+        return len(self.Qx)
+
+
+class PositionProblem(NamedTuple):
+    config: PositionConfig
+    grid: Grid            # (channel, x, v) axes
+    plan: object          # InterpPlan, queries (C, nx, nv, nu)
+    stage_cost: jax.Array
+
+
+class PositionSolution(NamedTuple):
+    problem: PositionProblem
+    result: SolveResult
+
+    @property
+    def u_tables(self) -> jax.Array:
+        """(C, nx, nv) optimal thrust force per channel (steady-state policy)."""
+        u = jnp.asarray(self.problem.config.u_vector)
+        return u[self.result.argmin]
+
+
+def _x_step_coeff(h: float, parity: bool) -> float:
+    if not parity:
+        return 1.0
+    return 1.0 + h / 2 + h**2 / 6 + h**3 / 24
+
+
+def build(config: PositionConfig = PositionConfig()) -> PositionProblem:
+    cfg = config
+    s_x = sym_linspace_inclusive(cfg.x_min, cfg.x_max, cfg.n_mesh_x)
+    s_v = sym_linspace_inclusive(cfg.v_min, cfg.v_max, cfg.n_mesh_v)
+    chan = np.arange(cfg.n_channels, dtype=np.float32)
+    grid = Grid((chan, s_x, s_v))
+
+    # broadcast-shaped queries over (channel, x, v, u); channel never moves
+    c = jnp.asarray(chan)[:, None, None, None]
+    x = jnp.asarray(s_x)[None, :, None, None]
+    v = jnp.asarray(s_v)[None, None, :, None]
+    u = jnp.asarray(cfg.u_vector)[None, None, None, :]
+
+    x_next = x + cfg.h * v * _x_step_coeff(cfg.h, cfg.rk4_x_parity)
+    v_next = v + cfg.h * u / cfg.mass
+    plan = build_plan(grid.axes, (c, x_next, v_next))
+
+    Qx = jnp.asarray(cfg.Qx, jnp.float32)[:, None, None, None]
+    Qv = jnp.asarray(cfg.Qv, jnp.float32)[:, None, None, None]
+    R = jnp.asarray(cfg.R, jnp.float32)[:, None, None, None]
+    stage_cost = Qx * x**2 + Qv * v**2 + R * u**2
+    return PositionProblem(cfg, grid, plan, stage_cost)
+
+
+def solve(
+    config: PositionConfig = PositionConfig(),
+    *,
+    num_sweeps: Optional[int] = None,
+    impl: str = "stencil",
+) -> PositionSolution:
+    """All channels' value iteration in one jitted scan (:131-141)."""
+    problem = build(config)
+    sweeps = (config.n_stage - 1) if num_sweeps is None else num_sweeps
+    backup = None
+    if impl == "stencil":
+        backup = build_stencil_backup(problem.plan, problem.stage_cost)
+    elif impl != "gather":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    @partial(jax.jit, static_argnames=("n",))
+    def _solve(plan, cost, n):
+        return value_iteration_finite(plan, cost, n, store_policies=False,
+                                      backup=backup)
+
+    result = _solve(problem.plan, problem.stage_cost, sweeps)
+    return PositionSolution(problem, result)
+
+
+def get_optimal_path(
+    sol: PositionSolution,
+    y0=(-1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    *,
+    t_final: Optional[float] = None,
+    ode_tol: float = 1e-8,
+):
+    """Closed-loop rollout vs. the eccentric-target relative-motion plant.
+
+    One ``lax.scan`` over stages (Solver_position.m:210-225): per stage a
+    'nearest' policy lookup per channel, then RKF45 integration of the CW
+    equations with the target propagated by universal-variable Kepler.
+
+    Returns (T, X, U): times (N,), states (N, 6), controls (N-1, 3).
+    """
+    cfg = sol.problem.config
+    axes = sol.problem.grid.axes[1:]  # (x, v)
+    tables = sol.u_tables             # (C, nx, nv)
+    h = cfg.h
+    n = cfg.n_stage if t_final is None else int(np.ceil(t_final / h))
+    R0, V0 = target_orbit_R0V0()
+
+    def policy(y):
+        a = [nearest_eval(tables[i], axes, (y[i], y[3 + i])) for i in range(3)]
+        return jnp.stack(a) * cfg.accel_scale
+
+    def step(carry, k):
+        y = carry
+        t = k * h
+        accel = policy(y)
+        f = lambda tt, yy: cw_relative_rates(tt, yy, accel, R0, V0)  # noqa: E731
+        y_next = rkf45_integrate(f, t, t + h, y, tol=ode_tol)
+        return y_next, (y, accel)
+
+    y0 = jnp.asarray(y0, jnp.float32)
+    y_fin, (X, U) = jax.lax.scan(step, y0, jnp.arange(n - 1))
+    X = jnp.concatenate([X, y_fin[None]], axis=0)
+    T = jnp.arange(n) * h
+    return T, X, U

@@ -39,6 +39,7 @@ __all__ = [
     "build_plan",
     "interp_apply",
     "interp_eval",
+    "nearest_eval",
 ]
 
 
@@ -130,6 +131,32 @@ def interp_apply(values: jax.Array, plan: InterpPlan) -> jax.Array:
         contrib = w * jnp.take(flat, idx)
         out = contrib if out is None else out + contrib
     return out
+
+
+def nearest_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
+    """Nearest-neighbor table lookup, MATLAB ``'nearest'`` interpolant parity.
+
+    The reference wraps its policies in 'nearest' griddedInterpolants for
+    rollout (Solver_position.m:144-146; Solver_pos_att.m:851-861). Outside
+    the grid the nearest edge point is used (MATLAB 'nearest' extrapolation).
+    Exact-midpoint queries snap to the lower neighbor.
+    """
+    idx = []
+    for ax, q in zip(axes, points):
+        g = jnp.asarray(ax, dtype=dtype)
+        q = jnp.asarray(q, dtype=dtype)
+        lo = jnp.clip(jnp.searchsorted(g, q, side="right") - 1, 0, g.shape[0] - 2)
+        pick_hi = (q - jnp.take(g, lo)) > (jnp.take(g, lo + 1) - q)
+        idx.append(jnp.where(pick_hi, lo + 1, lo))
+    flat = jnp.asarray(values).reshape(-1)
+    strides = np.ones(len(axes), dtype=np.int64)
+    shape = tuple(np.asarray(a).size for a in axes)
+    for k in range(len(axes) - 2, -1, -1):
+        strides[k] = strides[k + 1] * shape[k + 1]
+    lin = idx[0] * int(strides[0])
+    for k in range(1, len(axes)):
+        lin = lin + idx[k] * int(strides[k])
+    return jnp.take(flat, lin)
 
 
 def interp_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
