@@ -1,0 +1,333 @@
+"""Coupled position+attitude control per body axis (the flagship problem).
+
+TPU re-design of ``pos-att/Solver_pos_att.m``: per channel a 4-D state
+(x, v, theta, omega) is driven by 4 on/off thrusters whose pruned
+combinations (9 healthy / 6 with a failed thruster) form the action set; the
+channel solves run value iteration with the reference's periodic-checksum
+early stop, controllers persist to npz, and the closed-loop 13-state
+simulation (translation + quaternion attitude + full-inertia Euler
+equations) is one on-device scan.
+
+Channel wiring (Solver_pos_att.m:217-240, 404-449): x-translation couples to
+pitch about the body y-axis (inertia J2), y to yaw about z (J3), z to roll
+about x (J1). A thruster-0 failure variant of the x channel is solved too
+(:236-240) — policy families per actuator-failure configuration.
+
+Reference parity:
+* ``sym_linspace`` exact-n grids (:906-918), Euler steps (RK4 shells with
+  k2..k4 commented out, :330-402), stage cost (:784-802).
+* early stop: every 50 sweeps |sum(V) - prev| < 1e-2 (:268-286).
+* policy lookup on nearest-neighbor per-thruster force tables (:849-884),
+  state transformed RSW->ECI->body with the *initial* target state vector
+  (:404-415, a reference quirk: R0,V0 are never advanced for the frame).
+* the body-frame accelerations sum(f)/Mass (m/s^2) feed the km-based CW
+  equations unscaled (:804-823 + :699-707) — reproduced via
+  ``accel_scale=1.0`` default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics.orbital import target_orbit_R0V0
+from ..dynamics.relmotion import cw_relative_rates
+from ..engine import SolveResult, value_iteration_converged
+from ..grids import Grid, sym_linspace_exact
+from ..io import ChannelController
+from ..ops.interp import build_plan
+from ..ops.stencil import build_stencil_backup
+from ..utils.frames import body_to_rsw, rsw_to_body
+from ..utils.integrators import rkf45_integrate
+from ..utils.quaternions import quat_kinematics, small_angles_from_quat
+from .thrusters import (
+    SPHERES_MOMENT_ARM,
+    SPHERES_THRUSTER_FORCE,
+    thruster_combinations,
+)
+
+__all__ = [
+    "PosAttConfig",
+    "CHANNELS",
+    "build_channel",
+    "solve_channel",
+    "solve",
+    "PosAttSolution",
+    "get_optimal_path",
+]
+
+CHANNELS = ("x", "y", "z")
+
+
+@dataclasses.dataclass(frozen=True)
+class PosAttConfig:
+    # translational grid (Solver_pos_att.m:100-106)
+    x_min: float = -0.2
+    x_max: float = 0.2
+    n_mesh_x: int = 30
+    v_min: float = -0.1
+    v_max: float = 0.1
+    n_mesh_v: int = 30
+    # attitude grid (:108-119); per-channel theta ranges in degrees
+    w_min_deg: float = -2.0
+    w_max_deg: float = 2.0
+    n_mesh_w: int = 15
+    theta_ranges_deg: tuple = ((-5.0, 5.0), (-6.0, 6.0), (-7.0, 7.0))
+    n_mesh_t: int = 20
+    # plant (:121-131, :171-192)
+    mass: float = 4.16
+    inertia_diag: tuple = (0.02836 + 0.00016, 0.026817 + 0.00150, 0.023 + 0.00150)
+    inertia_offdiag: tuple = (-0.0000837, 0.000014, -0.00029)  # (Ixy, Ixz, Iyz)
+    thruster_force: float = SPHERES_THRUSTER_FORCE
+    moment_arm: float = SPHERES_MOMENT_ARM
+    # cost (:138-151)
+    Qx: float = 6.0
+    Qv: float = 6.0
+    Qt: float = 0.5
+    Qw: float = 0.5
+    R: float = 0.1
+    # horizon (:155-156)
+    T_final: float = 10.0
+    h: float = 0.005
+    # early stop (:269-284)
+    check_every: int = 50
+    tol: float = 1e-2
+    # rollout parity knob (module docstring)
+    accel_scale: float = 1.0
+
+    @property
+    def n_stage(self) -> int:
+        return int(np.ceil(self.T_final / self.h))
+
+    @property
+    def inertia_matrix(self) -> np.ndarray:
+        d = self.inertia_diag
+        o = self.inertia_offdiag
+        return np.array([[d[0], o[0], o[1]],
+                         [o[0], d[1], o[2]],
+                         [o[1], o[2], d[2]]])
+
+    def channel_inertia(self, channel: str) -> float:
+        """x -> J2 (pitch about y), y -> J3, z -> J1 (:217-233)."""
+        d = self.inertia_diag
+        return {"x": d[1], "y": d[2], "z": d[0]}[channel]
+
+    def thruster_value_sets(self, channel: str, failure: bool = False):
+        """Per-thruster admissible force values, (f0, f1, f6, f7) order.
+
+        ``failure=True`` disables the channel's first thruster (:236-240).
+        """
+        F = self.thruster_force
+        pos = np.array([0.0, F])
+        neg = np.array([0.0, -F])
+        f0 = np.array([0.0]) if failure else pos
+        return (f0, pos, neg, neg)
+
+
+class ChannelProblem(NamedTuple):
+    config: PosAttConfig
+    channel: str
+    failure: bool
+    grid: Grid
+    forces: np.ndarray     # (n_comb, 4) pruned combinations
+    plan: object
+    stage_cost: jax.Array
+
+
+def _channel_axes(cfg: PosAttConfig, channel: str):
+    i = CHANNELS.index(channel)
+    t_lo, t_hi = cfg.theta_ranges_deg[i]
+    s_x = sym_linspace_exact(cfg.x_min, cfg.x_max, cfg.n_mesh_x)
+    s_v = sym_linspace_exact(cfg.v_min, cfg.v_max, cfg.n_mesh_v)
+    s_t = sym_linspace_exact(np.deg2rad(t_lo), np.deg2rad(t_hi), cfg.n_mesh_t)
+    s_w = sym_linspace_exact(np.deg2rad(cfg.w_min_deg), np.deg2rad(cfg.w_max_deg),
+                             cfg.n_mesh_w)
+    return s_x, s_v, s_t, s_w
+
+
+def build_channel(cfg: PosAttConfig, channel: str, *, failure: bool = False) -> ChannelProblem:
+    """Grids, Euler-step next states, stage cost for one channel (:244-265)."""
+    s_x, s_v, s_t, s_w = _channel_axes(cfg, channel)
+    grid = Grid((s_x, s_v, s_t, s_w))
+    forces = thruster_combinations(*cfg.thruster_value_sets(channel, failure))
+    J = cfg.channel_inertia(channel)
+    h = cfg.h
+
+    x = jnp.asarray(s_x)[:, None, None, None, None]
+    v = jnp.asarray(s_v)[None, :, None, None, None]
+    t = jnp.asarray(s_t)[None, None, :, None, None]
+    w = jnp.asarray(s_w)[None, None, None, :, None]
+    f = jnp.asarray(forces)  # (nc, 4)
+    fsum = (f[:, 0] + f[:, 1] + f[:, 2] + f[:, 3])[None, None, None, None, :]
+    # moment = (f0 - f1 + f6 - f7) * T_dist (wdynamics, :396-401)
+    fmom = (f[:, 0] - f[:, 1] + f[:, 2] - f[:, 3])[None, None, None, None, :]
+
+    x_next = x + h * v
+    v_next = v + h * fsum / cfg.mass
+    t_next = t + h * w
+    w_next = w + h * fmom * cfg.moment_arm / J
+    plan = build_plan(grid.axes, (x_next, v_next, t_next, w_next))
+
+    fsq = (f[:, 0] ** 2 + f[:, 1] ** 2 + f[:, 2] ** 2 + f[:, 3] ** 2)
+    cost = (cfg.Qx * x**2 + cfg.Qv * v**2 + cfg.Qt * t**2 + cfg.Qw * w**2
+            + cfg.R * fsq[None, None, None, None, :])
+    return ChannelProblem(cfg, channel, failure, grid, forces, plan, cost)
+
+
+def solve_channel(
+    cfg: PosAttConfig,
+    channel: str,
+    *,
+    failure: bool = False,
+    impl: str = "stencil",
+    max_sweeps: Optional[int] = None,
+) -> tuple[ChannelController, SolveResult]:
+    """Early-stopping value iteration for one channel (:268-289)."""
+    problem = build_channel(cfg, channel, failure=failure)
+    sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
+    backup = None
+    if impl == "stencil":
+        backup = build_stencil_backup(problem.plan, problem.stage_cost)
+    elif impl != "gather":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    @partial(jax.jit, static_argnames=("n",))
+    def _solve(plan, cost, n):
+        return value_iteration_converged(
+            plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
+            backup=backup,
+        )
+
+    result = _solve(problem.plan, problem.stage_cost, sweeps)
+    ctrl = ChannelController(
+        axes=tuple(problem.grid.axes),
+        values=np.asarray(result.values),
+        argmin=np.asarray(result.argmin),
+        forces=problem.forces,
+    )
+    return ctrl, result
+
+
+class PosAttSolution(NamedTuple):
+    config: PosAttConfig
+    controllers: dict  # channel -> ChannelController (+ "x_failure")
+
+
+def solve(
+    cfg: PosAttConfig = PosAttConfig(),
+    *,
+    include_failure: bool = True,
+    impl: str = "stencil",
+    save_dir: Optional[str] = None,
+) -> PosAttSolution:
+    """Solve all channels (+ x-failure), the reference's ``simplified_run``."""
+    from ..io import save_channel_controller
+
+    controllers = {}
+    for ch in CHANNELS:
+        controllers[ch], _ = solve_channel(cfg, ch, impl=impl)
+    if include_failure:
+        controllers["x_failure"], _ = solve_channel(cfg, "x", failure=True,
+                                                    impl=impl)
+    if save_dir is not None:
+        import os
+
+        for name, ctrl in controllers.items():
+            save_channel_controller(
+                os.path.join(save_dir, f"channel_{name}_controller_1.npz"), ctrl)
+    return PosAttSolution(cfg, controllers)
+
+
+def default_x0(pitch_deg: float = 3.0):
+    """X0 = [dr; dv; q; w] with dr=[-0.1,0,0] km, 3 deg pitch (:458-466)."""
+    from ..utils.quaternions import euler_zyx_to_quat
+
+    q0 = euler_zyx_to_quat(jnp.asarray(0.0), jnp.deg2rad(pitch_deg),
+                           jnp.asarray(0.0))
+    return jnp.concatenate([
+        jnp.array([-0.1, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32),
+        q0.astype(jnp.float32),
+        jnp.zeros(3, jnp.float32),
+    ])
+
+
+def get_optimal_path(
+    sol: PosAttSolution,
+    x0: Optional[jax.Array] = None,
+    *,
+    t_final: Optional[float] = None,
+    use_x_failure: bool = False,
+    ode_tol: float = 1e-8,
+):
+    """Closed-loop 13-state rollout (:452-730) as one on-device scan.
+
+    Returns (T, X, F_th, FM): times (N,), states (N, 13), thruster forces
+    (N-1, 12), and the force/moment log (N-1, 6) = [a_rsw (3), U_M (3)].
+    """
+    cfg = sol.config
+    h = cfg.h
+    n = cfg.n_stage if t_final is None else int(np.ceil(t_final / h))
+    R0, V0 = target_orbit_R0V0()
+    R0 = jnp.asarray(R0, jnp.float32)
+    V0 = jnp.asarray(V0, jnp.float32)
+    inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
+    inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
+
+    ctrls = {ch: sol.controllers["x_failure" if ch == "x" and use_x_failure
+                                else ch] for ch in CHANNELS}
+    tables = {ch: jnp.asarray(ctrls[ch].force_tables) for ch in CHANNELS}
+    axes = {ch: ctrls[ch].axes for ch in CHANNELS}
+
+    from ..ops.interp import nearest_eval
+
+    # channel -> (position index, theta/omega index): x uses t_y, w_y etc.
+    att_idx = {"x": 1, "y": 2, "z": 0}
+
+    def lookup(ch, xb, vb, t, w):
+        i = CHANNELS.index(ch)
+        pt = (xb[i], vb[i], t[att_idx[ch]], w[att_idx[ch]])
+        tab = tables[ch]
+        return jnp.stack([nearest_eval(tab[k], axes[ch], pt) for k in range(4)])
+
+    def step(carry, k):
+        y = carry
+        dr, dv, q, w = y[0:3], y[3:6], y[6:10], y[10:13]
+        t_ang = small_angles_from_quat(q)
+        xb = rsw_to_body(dr, q, R0, V0)
+        vb = rsw_to_body(dv, q, R0, V0)
+
+        fx = lookup("x", xb, vb, t_ang, w)   # thrusters 0,1,6,7
+        fy = lookup("y", xb, vb, t_ang, w)   # thrusters 2,3,8,9
+        fz = lookup("z", xb, vb, t_ang, w)   # thrusters 4,5,10,11
+
+        # moments (to_Moments_Forces, :804-813)
+        arm = cfg.moment_arm
+        U_M = jnp.stack([
+            (fz[0] - fz[1] + fz[2] - fz[3]) * arm,   # about x
+            (fx[0] - fx[1] + fx[2] - fx[3]) * arm,   # about y
+            (fy[0] - fy[1] + fy[2] - fy[3]) * arm,   # about z
+        ])
+        a_body = jnp.stack([jnp.sum(fx), jnp.sum(fy), jnp.sum(fz)]) / cfg.mass
+        a_rsw = body_to_rsw(a_body, q, R0, V0) * cfg.accel_scale
+
+        def rates(tt, yy):
+            trans = cw_relative_rates(tt, yy[0:6], a_rsw, R0, V0)
+            qdot = quat_kinematics(yy[6:10], yy[10:13])
+            wdot = inertia_inv @ (U_M - jnp.cross(yy[10:13], inertia @ yy[10:13]))
+            return jnp.concatenate([trans, qdot, wdot])
+
+        t0 = k * h
+        y_next = rkf45_integrate(rates, t0, t0 + h, y, tol=ode_tol)
+        f12 = jnp.concatenate([fx[:2], fy[:2], fz[:2], fx[2:], fy[2:], fz[2:]])
+        return y_next, (y, f12, jnp.concatenate([a_rsw, U_M]))
+
+    y0 = default_x0() if x0 is None else jnp.asarray(x0, jnp.float32)
+    y_fin, (X, F_th, FM) = jax.lax.scan(step, y0, jnp.arange(n - 1))
+    X = jnp.concatenate([X, y_fin[None]], axis=0)
+    T = jnp.arange(n) * h
+    return T, X, F_th, FM

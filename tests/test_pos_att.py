@@ -1,0 +1,121 @@
+"""Pos-att model: thruster pruning, channel solve vs oracle, early stop,
+controller persistence, closed-loop rollout."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ocdp_tpu.io import load_channel_controller, save_channel_controller
+from ocdp_tpu.models import pos_att
+from ocdp_tpu.models.thrusters import thruster_combinations
+from oracle import bellman_backup as oracle_backup
+
+
+def small_cfg(**kw):
+    base = dict(n_mesh_x=7, n_mesh_v=7, n_mesh_t=6, n_mesh_w=5, T_final=0.25)
+    base.update(kw)
+    return pos_att.PosAttConfig(**base)
+
+
+def test_thruster_combinations_pruning():
+    F = 0.13
+    healthy = thruster_combinations([0, F], [0, F], [0, -F], [0, -F])
+    assert healthy.shape == (9, 4)
+    # no opposing-pair firings survive
+    assert not np.any((healthy[:, 0] > 0) & (healthy[:, 2] < 0))
+    assert not np.any((healthy[:, 1] > 0) & (healthy[:, 3] < 0))
+    # first combo is all-off (MATLAB enumeration order, f0 fastest)
+    assert np.all(healthy[0] == 0)
+
+    failed = thruster_combinations([0.0], [0, F], [0, -F], [0, -F])
+    assert failed.shape == (6, 4)
+    assert np.all(failed[:, 0] == 0)
+
+
+@pytest.mark.parametrize("impl", ["gather", "stencil"])
+@pytest.mark.parametrize("failure", [False, True])
+def test_channel_backup_matches_oracle(impl, failure):
+    cfg = small_cfg()
+    problem = pos_att.build_channel(cfg, "x", failure=failure)
+    ctrl, result = pos_att.solve_channel(cfg, "x", failure=failure, impl=impl,
+                                         max_sweeps=5)
+    axes = problem.grid.axes
+    f = problem.forces.astype(np.float64)
+    J = cfg.channel_inertia("x")
+    x = axes[0].astype(np.float64)[:, None, None, None, None]
+    v = axes[1].astype(np.float64)[None, :, None, None, None]
+    t = axes[2].astype(np.float64)[None, None, :, None, None]
+    w = axes[3].astype(np.float64)[None, None, None, :, None]
+    fsum = f.sum(axis=1)[None, None, None, None, :]
+    fmom = (f[:, 0] - f[:, 1] + f[:, 2] - f[:, 3])[None, None, None, None, :]
+    nxt = np.stack(np.broadcast_arrays(
+        x + cfg.h * v, v + cfg.h * fsum / cfg.mass, t + cfg.h * w,
+        w + cfg.h * fmom * cfg.moment_arm / J), axis=-1)
+    cost = (cfg.Qx * x**2 + cfg.Qv * v**2 + cfg.Qt * t**2 + cfg.Qw * w**2
+            + cfg.R * (f**2).sum(axis=1)[None, None, None, None, :])
+    cost = np.broadcast_to(cost, nxt.shape[:-1])
+    vv = np.zeros(nxt.shape[:-2])
+    for _ in range(5):
+        vv, aa = oracle_backup(vv, axes, nxt, cost)
+    np.testing.assert_allclose(ctrl.values, vv, rtol=1e-4, atol=1e-5)
+    assert (ctrl.argmin == aa).mean() > 0.999
+
+
+def test_early_stop_triggers_mechanism():
+    """With zero stage cost V stays identically 0, so the first 50-sweep
+    checksum delta is 0 -> the loop must break at sweep 50 exactly (the
+    reference's :268-286 machinery; at default tolerance/horizon the real
+    channels run to the sweep cap, matching the reference loop bound)."""
+    cfg = small_cfg(T_final=10.0, Qx=0.0, Qv=0.0, Qt=0.0, Qw=0.0, R=0.0)
+    _, result = pos_att.solve_channel(cfg, "y")
+    assert bool(result.converged)
+    # k_s runs 1999 down; first k_s%50==0 check is at k_s=1950 after 50 sweeps
+    assert int(result.num_sweeps) == 50
+
+
+def test_reference_config_runs_to_cap():
+    cfg = small_cfg(T_final=1.0)
+    _, result = pos_att.solve_channel(cfg, "y")
+    assert not bool(result.converged)
+    assert int(result.num_sweeps) == cfg.n_stage - 1
+
+
+def test_controller_roundtrip(tmp_path):
+    cfg = small_cfg()
+    ctrl, _ = pos_att.solve_channel(cfg, "z", max_sweeps=3)
+    p = str(tmp_path / "channel_z.npz")
+    save_channel_controller(p, ctrl)
+    back = load_channel_controller(p)
+    np.testing.assert_array_equal(back.argmin, ctrl.argmin)
+    np.testing.assert_array_equal(back.forces, ctrl.forces)
+    np.testing.assert_allclose(back.values, ctrl.values)
+    pt = (0.05, -0.02, 0.01, 0.001)
+    np.testing.assert_allclose(np.asarray(back.thruster_forces(pt)),
+                               np.asarray(ctrl.thruster_forces(pt)))
+
+
+def test_rollout_smoke_and_regulation():
+    cfg = small_cfg(n_mesh_x=12, n_mesh_v=12, n_mesh_t=8, n_mesh_w=7,
+                    T_final=10.0)
+    sol = pos_att.solve(cfg, include_failure=False)
+    T, X, F_th, FM = pos_att.get_optimal_path(sol, t_final=4.0)
+    X = np.asarray(X)
+    F = np.asarray(F_th)
+    assert np.all(np.isfinite(X))
+    assert F.shape[1] == 12
+    # thruster forces are only ever 0 or +-0.13
+    assert np.isin(np.round(np.abs(F).astype(np.float64), 4), [0.0, 0.13]).all()
+    # quaternion stays normalized through the integration
+    qn = np.linalg.norm(X[:, 6:10], axis=1)
+    assert np.all(np.abs(qn - 1) < 1e-3)
+    # position error shrinks from |x0| = 0.1
+    assert np.abs(X[-1, 0]) < np.abs(X[0, 0])
+
+
+def test_failure_mode_never_fires_thruster0():
+    cfg = small_cfg(T_final=10.0)
+    sol = pos_att.solve(cfg, include_failure=True)
+    T, X, F_th, FM = pos_att.get_optimal_path(sol, t_final=1.0,
+                                              use_x_failure=True)
+    F = np.asarray(F_th)
+    assert np.all(F[:, 0] == 0.0)
