@@ -8,7 +8,7 @@ rollouts against nonlinear orbital dynamics). See SURVEY.md for the feature
 map and parity targets.
 """
 
-from . import engine, grids
+from . import diagnostics, dynamics, engine, grids, io, models, parallel, utils
 from .engine import (
     SolveResult,
     value_iteration_converged,
@@ -16,7 +16,15 @@ from .engine import (
 )
 from .grids import Grid, linspace_axis, sym_linspace_exact, sym_linspace_inclusive
 from .ops.backup import BackupResult, bellman_backup
-from .ops.interp import InterpPlan, axis_locate, build_plan, interp_apply, interp_eval
+from .ops.interp import (
+    InterpPlan,
+    axis_locate,
+    build_plan,
+    interp_apply,
+    interp_eval,
+    nearest_eval,
+)
+from .ops.stencil import StencilBackup, build_stencil_backup
 
 __version__ = "0.1.0"
 

@@ -43,6 +43,7 @@ class SolveResult(NamedTuple):
     policies: Optional[jax.Array]  # (num_sweeps, *state_shape) or None
     num_sweeps: jax.Array        # actual sweeps performed (scalar int32)
     converged: jax.Array         # bool scalar (always False for finite driver)
+    probes: Optional[jax.Array] = None  # (num_sweeps, *window) V probes or None
 
 
 def policy_dtype_for(n_actions: int):
@@ -67,6 +68,7 @@ def value_iteration_finite(
     store_policies: bool = False,
     policy_dtype=None,
     backup=None,
+    probe_window=None,
 ) -> SolveResult:
     """Run exactly ``num_sweeps`` Bellman backups (finite-horizon DP).
 
@@ -76,6 +78,11 @@ def value_iteration_finite(
     ``backup``: optional callable ``values -> BackupResult`` replacing the
     default gather-based fused backup — e.g. a
     :class:`~ocdp_tpu.ops.stencil.StencilBackup` (fast path on TPU).
+
+    ``probe_window``: optional tuple of ``(start, size)`` per state dim; the
+    engine then captures that window of V after every sweep (the reference's
+    ``checkstagesXJF`` probes, test/Dynamic_Solver.m:212-219) into
+    ``SolveResult.probes``.
     """
     state_shape = plan.query_shape[:-1]
     if init_values is None:
@@ -87,22 +94,30 @@ def value_iteration_finite(
     if backup is None:
         backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
 
+    def probe(values):
+        if probe_window is None:
+            return None
+        starts = tuple(s for s, _ in probe_window)
+        sizes = tuple(n for _, n in probe_window)
+        return jax.lax.dynamic_slice(values, starts, sizes)
+
     def sweep(v, _):
         res = backup(v)
         out = res.argmin.astype(pdt) if store_policies else res.argmin
-        return res.values, out
+        return res.values, (out, probe(res.values))
 
     if store_policies:
-        values, policies = jax.lax.scan(sweep, v, None, length=num_sweeps)
+        values, (policies, probes) = jax.lax.scan(sweep, v, None,
+                                                  length=num_sweeps)
         argmin = policies[-1].astype(jnp.int32)
     else:
         # keep only the last argmin; avoid stacking
         def sweep_last(carry, _):
             v, _ = carry
             res = backup(v)
-            return (res.values, res.argmin), None
+            return (res.values, res.argmin), probe(res.values)
 
-        (values, argmin), _ = jax.lax.scan(
+        (values, argmin), probes = jax.lax.scan(
             sweep_last, (v, jnp.zeros(state_shape, jnp.int32)), None, length=num_sweeps
         )
         policies = None
@@ -112,6 +127,7 @@ def value_iteration_finite(
         policies=policies if store_policies else None,
         num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
         converged=jnp.asarray(False),
+        probes=probes,
     )
 
 

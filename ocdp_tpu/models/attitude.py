@@ -1,0 +1,466 @@
+"""Rigid-body attitude control (Solver_attitude): per-axis simplified DP and
+the full coupled 6-D solve, plus rollouts and the PD baseline.
+
+State convention — the reference stores quaternions in "Kirk" component
+order [x4 x5 x6 x7] with the load-bearing mapping to MATLAB scalar-first
+components documented at Solver_attitude.m:322-340. In terms of this
+package's scalar-last [x, y, z, w] (utils/quaternions.py):
+
+    kirk q1 (X4) = z,  kirk q2 (X5) = y,  kirk q3 (X6) = x,  kirk q4 (X7) = w
+
+so the reference's Euler-angle readback (atan2/asin at :485-489) is exactly
+``quat_to_euler_zyx`` under that permutation, and its half-angle quaternion
+construction (:449-467) is ``euler_zyx_to_quat``.
+
+Two solvers, as in the reference:
+
+* ``solve_simplified`` — 3 independent (omega_i, theta_i) 2-D problems with
+  diagonal-inertia torque dynamics (:196-259). The reference's RK4_t feeds
+  omega back through the theta-derivative (same quirk as Solver_position's
+  RK4_x), giving theta' = theta + h*omega*(1 + h/2 + h^2/6 + h^3/24);
+  reproduced behind ``rk4_t_parity``.
+* ``solve_full`` — the coupled 6-D grid (omega1..3, yaw, pitch, roll) with
+  27 torque combinations (:261-300). Dynamics: Euler-step omega with
+  gyroscopic cross terms, Euler-step the quaternion built from Euler
+  half-angles, renormalize, read back to Euler angles (:413-506). The
+  nominal mesh (1000^3 x 10^3) is infeasible by design (SURVEY.md §2.8) —
+  grid sizes are first-class config; the .asv history ran 11^3 x 10^3.
+  The 3-axis chained argmin (:400-409) is one flat first-min argmin here
+  (C-order equivalence, see ops/backup.py).
+
+  Known envelope (this round): the stencil path solves reference-feasible
+  6-D meshes (11^3 x 7^3 tested) on CPU and small meshes on TPU; at
+  ~10^6-cell meshes the 729-leaf stencil tree currently overwhelms the TPU
+  toolchain through the remote-compile tunnel (worker crashes / very long
+  compiles) — the planned fix is a dedicated Pallas backup kernel with
+  on-chip tiling replacing the XLA-fused tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import SolveResult, value_iteration_finite
+from ..grids import Grid, linspace_axis
+from ..ops.interp import build_plan, interp_eval, nearest_eval
+from ..ops.stencil import build_stencil_backup
+from ..utils.integrators import rk4_step, rkf45_integrate
+from ..utils.quaternions import euler_zyx_to_quat, quat_to_euler_zyx
+
+__all__ = [
+    "AttitudeConfig",
+    "solve_simplified",
+    "solve_full",
+    "rollout_full",
+    "rollout_simplified_real_dynamics",
+    "linear_control_response",
+]
+
+_DEG = np.pi / 180.0
+
+
+def _jit_solve(plan, cost, backup, n):
+    """Jitted finite-horizon solve.
+
+    Two compile strategies, chosen by the backup's weight mode:
+    * onthefly weights -> backup CLOSED OVER: its (off, frac) arrays become
+      compile-time constants and XLA constant-folds the weight stacks
+      (~40x faster sweeps than tracing them).
+    * precomputed weights -> backup passed as a traced ARGUMENT: the dense
+      weight stacks are plain inputs (nothing to fold), and keeping them out
+      of the executable avoids blowing the remote-compile payload limit on
+      big grids.
+    """
+    if backup is not None and getattr(backup, "weights", ()):
+        @partial(jax.jit, static_argnames=("n",))
+        def go_arg(plan, cost, backup, n):
+            return value_iteration_finite(plan, cost, n, store_policies=False,
+                                          backup=backup)
+
+        return go_arg(plan, cost, backup, n)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def go(plan, cost, n):
+        return value_iteration_finite(plan, cost, n, store_policies=False,
+                                      backup=backup)
+
+    return go(plan, cost, n)
+
+
+@dataclasses.dataclass(frozen=True)
+class AttitudeConfig:
+    # omega grid (Solver_attitude.m:106-108)
+    w_min_deg: float = -50.0
+    w_max_deg: float = 50.0
+    n_mesh_w: int = 1000
+    # Euler-angle grids (:109-116)
+    yaw_range_deg: tuple = (-30.0, 30.0)
+    pitch_range_deg: tuple = (-20.0, 20.0)
+    roll_range_deg: tuple = (-35.0, 35.0)
+    n_mesh_q: int = 10     # per Euler axis, full solver
+    n_mesh_t: int = 300    # per theta axis, simplified solver
+    # inertia (:118-126), same SPHERES satellite as pos-att
+    inertia_diag: tuple = (0.02836 + 0.00016, 0.026817 + 0.00150, 0.023 + 0.00150)
+    inertia_offdiag: tuple = (-0.0000837, 0.000014, -0.00029)
+    # cost (:128-141)
+    Qw: tuple = (6.0, 6.0, 6.0)
+    Qq: tuple = (6.0, 6.0, 6.0)
+    R: tuple = (4.0, 4.0, 4.0)
+    # horizon (:143-144)
+    T_final: float = 30.0
+    h: float = 0.005
+    # torques (:174)
+    u_max: float = 0.11
+    # parity knob (module docstring)
+    rk4_t_parity: bool = True
+
+    @property
+    def n_stage(self) -> int:
+        return int(np.ceil(self.T_final / self.h))
+
+    @property
+    def u_vector(self) -> np.ndarray:
+        return np.array([-self.u_max, 0.0, self.u_max], np.float32)
+
+    @property
+    def inertia_matrix(self) -> np.ndarray:
+        d, o = self.inertia_diag, self.inertia_offdiag
+        return np.array([[d[0], o[0], o[1]],
+                         [o[0], d[1], o[2]],
+                         [o[1], o[2], d[2]]])
+
+    @property
+    def euler_ranges(self):
+        return (tuple(np.asarray(self.yaw_range_deg) * _DEG),
+                tuple(np.asarray(self.pitch_range_deg) * _DEG),
+                tuple(np.asarray(self.roll_range_deg) * _DEG))
+
+    @staticmethod
+    def default_x0() -> jnp.ndarray:
+        """[w; kirk-q] with q = angle2quat(5, 10, -9 deg) (:160-163)."""
+        q = euler_zyx_to_quat(jnp.asarray(5 * _DEG), jnp.asarray(10 * _DEG),
+                              jnp.asarray(-9 * _DEG))
+        kirk = jnp.stack([q[2], q[1], q[0], q[3]])
+        return jnp.concatenate([jnp.zeros(3), kirk]).astype(jnp.float32)
+
+
+def _quirk(h: float, on: bool) -> float:
+    return (1.0 + h / 2 + h * h / 6 + h**3 / 24) if on else 1.0
+
+
+# ---------------------------------------------------------------- simplified
+
+class SimplifiedSolution(NamedTuple):
+    config: AttitudeConfig
+    axes: tuple       # per channel: (s_w, s_t)
+    u_tables: tuple   # per channel: (n_mesh_w, n_mesh_t) torque table
+    values: tuple
+
+
+def solve_simplified(
+    cfg: AttitudeConfig = AttitudeConfig(),
+    *,
+    num_sweeps: Optional[int] = None,
+    impl: str = "stencil",
+) -> SimplifiedSolution:
+    """3 decoupled (omega, theta) solves (:196-259), one jit each."""
+    sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    c_h = _quirk(cfg.h, cfg.rk4_t_parity)
+    axes_out, tables, values = [], [], []
+    for i, (t_lo, t_hi) in enumerate(cfg.euler_ranges):
+        s_w = linspace_axis(cfg.w_min_deg * _DEG, cfg.w_max_deg * _DEG, cfg.n_mesh_w)
+        s_t = linspace_axis(t_lo, t_hi, cfg.n_mesh_t)
+        grid = Grid((s_w, s_t))
+        J = cfg.inertia_diag[i]
+        w = jnp.asarray(s_w)[:, None, None]
+        t = jnp.asarray(s_t)[None, :, None]
+        u = jnp.asarray(cfg.u_vector)[None, None, :]
+        w_next = w + cfg.h * u / J        # RK4_w: k's equal (:631-645)
+        t_next = t + cfg.h * w * c_h      # RK4_t quirk (:647-661)
+        plan = build_plan(grid.axes, (w_next, t_next))
+        cost = cfg.Qw[i] * w**2 + cfg.Qq[i] * t**2 + cfg.R[i] * u**2
+
+        backup = None
+        if impl == "stencil":
+            backup = build_stencil_backup(plan, cost)
+        elif impl != "gather":
+            raise ValueError(f"unknown impl {impl!r}")
+
+        res = _jit_solve(plan, cost, backup, sweeps)
+        axes_out.append((s_w, s_t))
+        tables.append(jnp.asarray(cfg.u_vector)[res.argmin])
+        values.append(res.values)
+    return SimplifiedSolution(cfg, tuple(axes_out), tuple(tables), tuple(values))
+
+
+# ----------------------------------------------------------------- full 6-D
+
+class FullSolution(NamedTuple):
+    config: AttitudeConfig
+    grid: Grid
+    result: SolveResult
+
+    @property
+    def u_tables(self) -> jnp.ndarray:
+        """(3, *state_shape) optimal torque per axis from the flat argmin.
+
+        Equivalent to the reference's nested-index composition
+        U3(U2(U1)), U2(U1) (:290-292) — see ops/backup.py.
+        """
+        nu = len(self.config.u_vector)
+        a = self.result.argmin
+        i1, rem = a // (nu * nu), a % (nu * nu)
+        i2, i3 = rem // nu, rem % nu
+        u = jnp.asarray(self.config.u_vector)
+        return jnp.stack([u[i1], u[i2], u[i3]])
+
+
+def build_full(cfg: AttitudeConfig):
+    """6-D grid, taylor-estimate next states, quaternion cost (:261-506)."""
+    s_w = linspace_axis(cfg.w_min_deg * _DEG, cfg.w_max_deg * _DEG, cfg.n_mesh_w)
+    (y_lo, y_hi), (p_lo, p_hi), (r_lo, r_hi) = cfg.euler_ranges
+    s_yaw = linspace_axis(y_lo, y_hi, cfg.n_mesh_q)
+    s_pitch = linspace_axis(p_lo, p_hi, cfg.n_mesh_q)
+    s_roll = linspace_axis(r_lo, r_hi, cfg.n_mesh_q)
+    grid = Grid((s_w, s_w, s_w, s_yaw, s_pitch, s_roll))
+    J1, J2, J3 = cfg.inertia_diag
+    h = cfg.h
+    nu = len(cfg.u_vector)
+
+    # broadcast layout: (w1, w2, w3, yaw, pitch, roll, u1, u2, u3) -> flat A
+    def bshape(arr, axis):
+        sh = [1] * 9
+        sh[axis] = -1
+        return jnp.asarray(arr).reshape(sh)
+
+    w1, w2, w3 = (bshape(s_w, i) for i in range(3))
+    cy, sy = bshape(np.cos(s_yaw / 2), 3), bshape(np.sin(s_yaw / 2), 3)
+    cp, sp = bshape(np.cos(s_pitch / 2), 4), bshape(np.sin(s_pitch / 2), 4)
+    cr, sr = bshape(np.cos(s_roll / 2), 5), bshape(np.sin(s_roll / 2), 5)
+    u1, u2, u3 = (bshape(cfg.u_vector, 6 + i) for i in range(3))
+
+    # kirk-q from Euler half-angles (:449-467)
+    q1 = sy * cp * cr - cy * sp * sr
+    q2 = cy * sp * cr + sy * cp * sr
+    q3 = cy * cp * sr - sy * sp * cr
+    q4 = jnp.sqrt(jnp.maximum(1.0 - (q1**2 + q2**2 + q3**2), 0.0))
+
+    w1n = w1 + h * ((J2 - J3) / J1 * w2 * w3 + u1 / J1)
+    w2n = w2 + h * ((J3 - J1) / J2 * w3 * w1 + u2 / J2)
+    w3n = w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3)
+    # Euler-step kirk-q kinematics (:525-556 comment block / :600-622)
+    q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
+    q2n = q2 + h * 0.5 * (-w3 * q1 + w1 * q3 + w2 * q4)
+    q3n = q3 + h * 0.5 * (w2 * q1 - w1 * q2 + w3 * q4)
+    q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
+    norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
+    q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
+    # Euler-angle readback (:485-489)
+    yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
+                        q4n**2 + q3n**2 - q2n**2 - q1n**2)
+    pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n), -1.0, 1.0))
+    roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
+                         q4n**2 - q3n**2 - q2n**2 + q1n**2)
+
+    # stage cost (:315-342): Qw w^2 + Qq q_vec^2 + R u^2, kept FACTORIZED as
+    # broadcast terms — the materialized S x A cost tensor for this problem
+    # is O(n_w^3 n_q^3 * 27) and must never exist (SURVEY.md §7: recompute
+    # g(x,u) on the fly instead of materializing like MATLAB must).
+    cost_terms = (
+        cfg.Qw[0] * w1**2 + cfg.Qw[1] * w2**2 + cfg.Qw[2] * w3**2,
+        cfg.Qq[0] * q1**2 + cfg.Qq[1] * q2**2 + cfg.Qq[2] * q3**2,
+        cfg.R[0] * u1**2 + cfg.R[1] * u2**2 + cfg.R[2] * u3**2,
+    )
+
+    def flat_actions(arr):
+        """Broadcast the 3 trailing action axes and flatten to one (C-order:
+        u1 slowest, u3 fastest = the reference's chained-min order)."""
+        full = jnp.broadcast_to(arr, arr.shape[:6] + (nu, nu, nu)) \
+            if arr.shape[6:] != (1, 1, 1) else arr
+        if full.shape[6:] == (1, 1, 1):
+            return full.reshape(full.shape[:6] + (1,))
+        return full.reshape(full.shape[:6] + (nu**3,))
+
+    queries = tuple(flat_actions(q) for q in
+                    (w1n, w2n, w3n, yaw_n, pitch_n, roll_n))
+    plan = build_plan(grid.axes, queries)
+    cost_terms = tuple(flat_actions(t) for t in cost_terms)
+    return grid, plan, cost_terms
+
+
+def solve_full(
+    cfg: AttitudeConfig,
+    *,
+    num_sweeps: Optional[int] = None,
+    impl: str = "stencil",
+    action_chunk: int = 9,
+    state_blocks: Optional[int] = None,
+    weight_mode: str = "precomputed",
+) -> FullSolution:
+    """``action_chunk`` and ``state_blocks`` bound the live intermediates of
+    the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
+    sweeps crashed a v5e). Default blocking targets ~2M-element working sets
+    per (block x chunk)."""
+    grid, plan, cost = build_full(cfg)
+    sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    if state_blocks is None:
+        cells = int(np.prod(grid.shape))
+        want = max(1, (cells * action_chunk) // 2_000_000)
+        state_blocks = 1
+        for b in range(1, cfg.n_mesh_w + 1):  # largest divisor <= want
+            if cfg.n_mesh_w % b == 0 and b <= want:
+                state_blocks = b
+    backup = None
+    if impl == "stencil":
+        backup = build_stencil_backup(plan, cost, action_chunk=action_chunk,
+                                      state_blocks=state_blocks,
+                                      weight_mode=weight_mode)
+    elif impl != "gather":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    return FullSolution(cfg, grid, _jit_solve(plan, cost, backup, sweeps))
+
+
+# ----------------------------------------------------------------- dynamics
+
+def attitude_rates_kirk(X, U, inertia, inertia_inv=None):
+    """7-state derivative [w(3), kirk-q(4)] (spacecraft_dynamics_list
+    :600-622 for diagonal inertia; the ode45 variant :849-872 uses the full
+    inertia matrix — pass ``inertia`` as (3,3) for that)."""
+    w = X[0:3]
+    q1, q2, q3, q4 = X[3], X[4], X[5], X[6]
+    if inertia_inv is None:
+        inertia_inv = jnp.linalg.inv(inertia)
+    w_dot = inertia_inv @ (U - jnp.cross(w, inertia @ w))
+    w1, w2, w3 = w[0], w[1], w[2]
+    q_dot = 0.5 * jnp.stack([
+        w3 * q2 - w2 * q3 + w1 * q4,
+        -w3 * q1 + w1 * q3 + w2 * q4,
+        w2 * q1 - w1 * q2 + w3 * q4,
+        -w1 * q1 - w2 * q2 - w3 * q3,
+    ])
+    return jnp.concatenate([w_dot, q_dot])
+
+
+def _renorm_q(X):
+    n = jnp.linalg.norm(X[3:7])
+    return X.at[3:7].set(X[3:7] / n)
+
+
+def euler_from_kirk_quat(q_kirk):
+    """(yaw, pitch, roll) from kirk-ordered quaternion — the reference's
+    ``quat2angle([X7 X6 X5 X4])`` call pattern (:757)."""
+    q = jnp.stack([q_kirk[2], q_kirk[1], q_kirk[0], q_kirk[3]])  # -> [x,y,z,w]
+    return quat_to_euler_zyx(q)
+
+
+# ----------------------------------------------------------------- rollouts
+
+def rollout_full(
+    sol: FullSolution,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    method: str = "nearest",
+    num_stages: Optional[int] = None,
+):
+    """Full-policy rollout with taylor (Euler) steps (:744-833).
+
+    Returns (X, U, ANGLES): states (N, 7), torques (N-1, 3), Euler angles
+    (N-1, 3).
+    """
+    cfg = sol.config
+    n = (num_stages or cfg.n_stage)
+    tables = sol.u_tables
+    axes = sol.grid.axes
+    inertia_d = jnp.asarray(np.diag(cfg.inertia_diag), jnp.float32)
+    inertia_d_inv = jnp.asarray(np.diag(1.0 / np.asarray(cfg.inertia_diag)),
+                                jnp.float32)
+    eval_fn = nearest_eval if method == "nearest" else (
+        lambda t, a, p: interp_eval(t, a, p))
+
+    def step(X, _):
+        yaw, pitch, roll = euler_from_kirk_quat(X[3:7])
+        pt = (X[0], X[1], X[2], yaw, pitch, roll)
+        U = jnp.stack([eval_fn(tables[i], axes, pt) for i in range(3)])
+        X_dot = attitude_rates_kirk(X, U, inertia_d, inertia_d_inv)
+        X_next = _renorm_q(X + cfg.h * X_dot)
+        return X_next, (X, U, jnp.stack([yaw, pitch, roll]))
+
+    X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
+    X_fin, (X, U, ang) = jax.lax.scan(step, X0, None, length=n - 1)
+    X = jnp.concatenate([X, X_fin[None]], axis=0)
+    return X, U, ang
+
+
+def rollout_simplified_real_dynamics(
+    sol: SimplifiedSolution,
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    num_stages: Optional[int] = None,
+    ode_tol: float = 1e-8,
+):
+    """Train-on-simplified / validate-on-real (:835-925): per-axis policies
+    looked up at (omega_i, 2*asin(kirk q_i)), plant = full nonlinear rigid
+    body with the complete inertia matrix, integrated RKF45 per stage."""
+    cfg = sol.config
+    n = (num_stages or cfg.n_stage)
+    inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
+    inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
+    tables = sol.u_tables
+    axes = sol.axes
+
+    def step(carry, k):
+        X = carry
+        theta = 2.0 * jnp.arcsin(jnp.clip(X[3:6], -1.0, 1.0))
+        U = jnp.stack([
+            nearest_eval(tables[i], axes[i], (X[i], theta[i])) for i in range(3)
+        ])
+        f = lambda t, y: attitude_rates_kirk(y, U, inertia, inertia_inv)  # noqa: E731
+        t0 = k * cfg.h
+        X_next = _renorm_q(rkf45_integrate(f, t0, t0 + cfg.h, X, tol=ode_tol))
+        return X_next, (X, U)
+
+    X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
+    X_fin, (X, U) = jax.lax.scan(step, X0, jnp.arange(n - 1))
+    X = jnp.concatenate([X, X_fin[None]], axis=0)
+    return X, U
+
+
+def linear_control_response(
+    cfg: AttitudeConfig = AttitudeConfig(),
+    x0: Optional[jnp.ndarray] = None,
+    *,
+    T_final: Optional[float] = None,
+    dt: Optional[float] = None,
+    K: float = 0.2,
+    C: float = 1.0,
+):
+    """Quaternion PD baseline (:508-591): U = -K*q_vec - C*w, RK4 steps of
+    the diagonal... full 7-state dynamics with q renormalization.
+
+    Returns (X, U, qnorm_drift) — the drift sqrt(|q|-1 at T_final) is the
+    reference's integration-error metric (:543-548).
+    """
+    h = dt or cfg.h
+    n = int(np.ceil((T_final or cfg.T_final) / h))
+    inertia_d = jnp.asarray(np.diag(cfg.inertia_diag), jnp.float32)
+    inertia_d_inv = jnp.asarray(np.diag(1.0 / np.asarray(cfg.inertia_diag)),
+                                jnp.float32)
+
+    def step(X, _):
+        U = -K * X[3:6] - C * X[0:3]
+        f = lambda t, y: attitude_rates_kirk(y, U, inertia_d, inertia_d_inv)  # noqa: E731
+        X_next = _renorm_q(rk4_step(f, 0.0, X, h))
+        return X_next, (X, U)
+
+    X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
+    X_fin, (X, U) = jax.lax.scan(step, X0, None, length=n)
+    X = jnp.concatenate([X, X_fin[None]], axis=0)
+    drift = jnp.abs(jnp.linalg.norm(X_fin[3:7]) - 1.0)
+    return X, U, drift

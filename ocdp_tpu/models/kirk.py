@@ -124,11 +124,13 @@ def solve(
 
     @partial(jax.jit, static_argnames=("num_sweeps", "store"))
     def _solve(plan, cost, num_sweeps, store):
+        # backup closed over -> weight stacks become foldable constants
         return value_iteration_finite(
             plan, cost, num_sweeps, store_policies=store, backup=backup
         )
 
-    result = _solve(problem.plan, problem.stage_cost, config.N - 1, store_policies)
+    result = _solve(problem.plan, problem.stage_cost, config.N - 1,
+                    store_policies)
     return KirkSolution(problem, result)
 
 

@@ -198,6 +198,7 @@ def solve_channel(
 
     @partial(jax.jit, static_argnames=("n",))
     def _solve(plan, cost, n):
+        # backup closed over -> weight stacks become foldable constants
         return value_iteration_converged(
             plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
             backup=backup,

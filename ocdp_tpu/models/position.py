@@ -149,6 +149,7 @@ def solve(
 
     @partial(jax.jit, static_argnames=("n",))
     def _solve(plan, cost, n):
+        # backup closed over -> weight stacks become foldable constants
         return value_iteration_finite(plan, cost, n, store_policies=False,
                                       backup=backup)
 

@@ -37,7 +37,7 @@ class BackupResult(NamedTuple):
     argmin: jax.Array  # int32 flat action index per state cell
 
 
-def bellman_backup(values: jax.Array, plan: InterpPlan, stage_cost: jax.Array) -> BackupResult:
+def bellman_backup(values: jax.Array, plan: InterpPlan, stage_cost) -> BackupResult:
     """One backward value-iteration sweep.
 
     Args:
@@ -45,12 +45,20 @@ def bellman_backup(values: jax.Array, plan: InterpPlan, stage_cost: jax.Array) -
       plan: interpolation plan whose queries are the next states ``f(x, u)``
         for every state cell x action, shaped/broadcastable to
         ``(*state_shape, n_actions)`` (action axis LAST, flattened).
-      stage_cost: ``g(x, u)`` broadcastable to the same query shape.
+      stage_cost: ``g(x, u)`` broadcastable to the same query shape — either
+        one array or a sequence of broadcast-shaped terms summed lazily
+        (factorized costs never materialize the S x A tensor; XLA fuses the
+        sum into the reduction).
 
     Returns:
       ``BackupResult(values=V_k, argmin=u*_index)`` with state-grid shape.
     """
-    total = interp_apply(values, plan) + stage_cost
+    total = interp_apply(values, plan)
+    if isinstance(stage_cost, (tuple, list)):
+        for term in stage_cost:
+            total = total + term
+    else:
+        total = total + stage_cost
     # Broadcast-resolve in case plan/cost are partially broadcast-shaped.
     full_shape = jnp.broadcast_shapes(total.shape, plan.query_shape)
     total = jnp.broadcast_to(total, full_shape)

@@ -16,15 +16,23 @@ with per-axis tap weights w_k(Î´) = [off_k == Î´]Â·(1-frac_k) + [off_k == Î´-1]Â
 (only 2 nonzero per query, so the sum is exact multilinear interpolation with
 MATLAB extrapolation semantics inherited from the plan's unclamped fracs).
 
-Problems whose *control* term moves queries many cells (Kirk: BÂ·u spans ~49
-cells of the x2 axis over the 1000-control range) are handled by chunking the
-action axis: each chunk gets a per-axis integer **base shift** (a
-``dynamic_slice`` start), and the residual band within a chunk stays narrow.
-The chunk loop is a ``lax.scan`` with running (min, argmin) combined by
-strict ``<`` so MATLAB first-minimum tie-breaking is preserved across chunks.
+Two tiling axes bound the working set (both are ``lax.scan`` loops inside one
+XLA computation):
 
-All band/base analysis happens once on the host at build time; the per-sweep
-work is elementwise f32 on the VPU plus d-dimensional static/dynamic slices.
+* **Action chunking**: problems whose control term moves queries many cells
+  (Kirk: BÂ·u spans ~49 cells of the x2 axis over the 1000-control range) get
+  a per-chunk integer **base shift** (a ``dynamic_slice`` start) so the
+  residual band stays narrow; running (min, argmin) combine across chunks by
+  strict ``<``, preserving MATLAB first-minimum tie-breaking.
+* **State blocking** (``state_blocks``): the output grid is swept in blocks
+  along state axis 0 â€” the on-chip tiling that keeps the fused stencil
+  tree's intermediates bounded for big grids (the 6-D attitude problem OOMs
+  a v5e without it). The value table itself stays whole (any block may read
+  any of it after a large control shift).
+
+All band/base analysis happens once on the host at build time; per-sweep
+work is elementwise f32 on the VPU plus static/dynamic slices. Tap values
+whose weight is provably zero for every query are pruned from the tree.
 """
 
 from __future__ import annotations
@@ -49,6 +57,17 @@ def _chunk_axis(arr: np.ndarray, n_chunks: int, chunk: int) -> np.ndarray:
     return np.moveaxis(out, -2, 0)
 
 
+def _block_axis0(arr: np.ndarray, n_blocks: int) -> np.ndarray:
+    """(C, n0, rest...) -> (B, C, n0/B, rest...); broadcast singleton n0."""
+    if n_blocks == 1:
+        return arr[None]
+    n0 = arr.shape[1]
+    if n0 == 1:
+        return np.broadcast_to(arr[None], (n_blocks,) + arr.shape)
+    out = arr.reshape(arr.shape[:1] + (n_blocks, n0 // n_blocks) + arr.shape[2:])
+    return np.moveaxis(out, 1, 0)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StencilBackup:
@@ -56,72 +75,101 @@ class StencilBackup:
 
     Call with the current value table to get one Bellman sweep:
     ``StencilBackup.__call__(values) -> BackupResult``.
+
+    Array layout: every per-chunk array carries leading (B, C) axes â€” state
+    block and action chunk â€” over a state-BLOCK-shaped remainder.
     """
 
-    # arrays (leading chunk axis C on everything that varies per chunk)
-    off_res: tuple[jax.Array, ...]   # per axis: residual tap offset, int32
-    frac: tuple[jax.Array, ...]      # per axis: fractional weight, f32
+    off_res: tuple[jax.Array, ...]   # per axis: (B, C, *block_bcast, chunk) int32
+    frac: tuple[jax.Array, ...]      # per axis: same layout, f32
+    # weight_mode="precomputed": per axis, per live tap, the dense weight
+    # array (B, C, ...) â€” built on host once; off_res/frac are then empty.
+    # Keeps executables small (no foldable constants) AND avoids per-sweep
+    # weight recomputation; costs HBM for the dense stacks.
+    weights: tuple[tuple[jax.Array, ...], ...]
     base: jax.Array                  # (C, d) int32 per-chunk slice base
-    cost: jax.Array                  # (C, *bcast_state, chunk) f32 stage cost
+    block_starts: jax.Array          # (B,) int32 axis-0 output offsets
+    cost_blocked: tuple[jax.Array, ...]  # terms with (B, C) leading axes
+    cost_static: tuple[jax.Array, ...]   # fully broadcast terms (no B/C)
     # static metadata
     grid_shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     state_shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    block_shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     taps: tuple[tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
+    valid_taps: tuple[tuple[int, ...], ...] = dataclasses.field(metadata=dict(static=True))
     pad: tuple[tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
     chunk: int = dataclasses.field(metadata=dict(static=True))
     n_actions: int = dataclasses.field(metadata=dict(static=True))
-
-    @property
-    def n_chunks(self) -> int:
-        return self.cost.shape[0]
 
     def __call__(self, values: jax.Array) -> BackupResult:
         d = len(self.grid_shape)
         v_pad = jnp.pad(values, self.pad)
 
-        def chunk_step(carry, xs):
-            best_v, best_a, a_offset = carry
-            offs, fracs, base, cost = xs
+        def block_fn(xs):
+            b_start, offs_b, fracs_b, weights_b, costs_b = xs
 
-            # per-axis tap-weight stacks, computed once per chunk
-            wstacks = []
-            for k in range(d):
-                lo_t, hi_t = self.taps[k]
-                ws = []
-                for t in range(lo_t, hi_t + 2):  # taps cover [lo_t, hi_t + 1]
-                    w = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) + \
-                        jnp.where(offs[k] == t - 1, fracs[k], 0.0)
-                    ws.append(w)
-                wstacks.append(ws)
+            def chunk_step(carry, cxs):
+                best_v, best_a, a_offset = carry
+                (offs, fracs, weights, costs), base = cxs
 
-            def rec(k, starts):
-                if k == d:
-                    leaf = jax.lax.dynamic_slice(v_pad, starts, self.state_shape)
-                    return leaf[..., None]  # broadcast over the action-chunk axis
-                lo_t, hi_t = self.taps[k]
-                acc = None
-                for i, t in enumerate(range(lo_t, hi_t + 2)):
-                    start_k = base[k] + (t - lo_t)
-                    term = wstacks[k][i] * rec(k + 1, starts + (start_k,))
-                    acc = term if acc is None else acc + term
-                return acc
+                wstacks = []
+                for k in range(d):
+                    ws = {}
+                    if self.weights:
+                        for i, t in enumerate(self.valid_taps[k]):
+                            ws[t] = weights[k][i]
+                    else:
+                        for t in self.valid_taps[k]:
+                            ws[t] = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) \
+                                + jnp.where(offs[k] == t - 1, fracs[k], 0.0)
+                    wstacks.append(ws)
 
-            total = rec(0, ()) + cost
-            total = jnp.broadcast_to(total, self.state_shape + (self.chunk,))
-            m = jnp.min(total, axis=-1)
-            a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
-            better = m < best_v  # strict: earlier chunk wins ties (MATLAB min)
-            return (jnp.where(better, m, best_v),
-                    jnp.where(better, a, best_a),
-                    a_offset + self.chunk), None
+                def rec(k, starts):
+                    if k == d:
+                        leaf = jax.lax.dynamic_slice(v_pad, starts,
+                                                     self.block_shape)
+                        return leaf[..., None]
+                    lo_t = self.taps[k][0]
+                    acc = None
+                    for t in self.valid_taps[k]:
+                        start_k = base[k] + (t - lo_t)
+                        if k == 0:
+                            start_k = start_k + b_start
+                        term = wstacks[k][t] * rec(k + 1, starts + (start_k,))
+                        acc = term if acc is None else acc + term
+                    return acc
 
-        init = (jnp.full(self.state_shape, jnp.inf, jnp.float32),
-                jnp.zeros(self.state_shape, jnp.int32),
-                jnp.asarray(0, jnp.int32))
-        (values_new, argmin, _), _ = jax.lax.scan(
-            chunk_step, init, (self.off_res, self.frac, self.base, self.cost)
-        )
-        return BackupResult(values_new, argmin)
+                total = rec(0, ())
+                for term in costs:
+                    total = total + term
+                for term in self.cost_static:
+                    total = total + term
+                total = jnp.broadcast_to(total, self.block_shape + (self.chunk,))
+                m = jnp.min(total, axis=-1)
+                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+                better = m < best_v  # strict: earlier chunk wins ties
+                return (jnp.where(better, m, best_v),
+                        jnp.where(better, a, best_a),
+                        a_offset + self.chunk), None
+
+            init = (jnp.full(self.block_shape, jnp.inf, jnp.float32),
+                    jnp.zeros(self.block_shape, jnp.int32),
+                    jnp.asarray(0, jnp.int32))
+            (vals, args, _), _ = jax.lax.scan(
+                chunk_step, init,
+                ((offs_b, fracs_b, weights_b, costs_b), self.base))
+            return vals, args
+
+        n_blocks = self.block_starts.shape[0]
+        xs = (self.block_starts, self.off_res, self.frac, self.weights,
+              self.cost_blocked)
+        if n_blocks == 1:
+            vals, args = block_fn(jax.tree.map(lambda a: a[0], xs))
+        else:
+            vals, args = jax.lax.map(block_fn, xs)
+            vals = vals.reshape(self.state_shape)
+            args = args.reshape(self.state_shape)
+        return BackupResult(vals, args)
 
 
 def build_stencil_backup(
@@ -129,31 +177,45 @@ def build_stencil_backup(
     stage_cost,
     *,
     action_chunk: Optional[int] = None,
+    state_blocks: int = 1,
     max_taps_per_axis: int = 64,
+    weight_mode: str = "onthefly",
 ) -> StencilBackup:
     """Analyze a plan's tap geometry and build the stencil operator.
 
-    Host-side, once per problem. Raises if any axis needs more than
-    ``max_taps_per_axis`` residual taps (the stencil would degenerate into a
-    dense sweep â€” use the gather backup or a smaller ``action_chunk``).
+    Host-side, once per problem. ``stage_cost`` may be one array or a
+    sequence of broadcast-shaped terms (factorized costs never materialize
+    the S x A tensor). ``state_blocks`` splits state axis 0 of the OUTPUT
+    into that many serially-swept blocks (must divide its length). Raises if
+    any axis needs more than ``max_taps_per_axis`` residual taps.
+
+    ``weight_mode``: "onthefly" recomputes tap weights from (off, frac) each
+    sweep (minimal memory; fastest when the operator is closed over so XLA
+    constant-folds them); "precomputed" builds dense per-tap weight stacks
+    on the host and ships them as inputs â€” use for big separable problems
+    (attitude 6-D) where constant-folding would bloat the executable past
+    the remote-compile tunnel's limits.
     """
     d = plan.ndim
     q_shape = plan.query_shape
     state_shape = q_shape[:-1]
     n_actions = q_shape[-1]
     if action_chunk is None:
-        # default: narrow enough that control-induced drift stays small
         action_chunk = n_actions if n_actions <= 64 else 32
     if n_actions % action_chunk:
         raise ValueError(
-            f"action axis {n_actions} not divisible by chunk {action_chunk}"
-        )
+            f"action axis {n_actions} not divisible by chunk {action_chunk}")
+    if state_shape[0] % state_blocks:
+        raise ValueError(
+            f"state axis 0 ({state_shape[0]}) not divisible by "
+            f"state_blocks={state_blocks}")
     n_chunks = n_actions // action_chunk
+    block_shape = (state_shape[0] // state_blocks,) + tuple(state_shape[1:])
 
     lo_np = [np.asarray(l) for l in plan.lo]
     fr_np = [np.asarray(f).astype(np.float32) for f in plan.frac]
 
-    offs, bases, taps, pads = [], [], [], []
+    offs, bases, taps, pads, res_list = [], [], [], [], []
     for k in range(d):
         lo = lo_np[k]
         # cell index of the query's own source cell along axis k
@@ -182,45 +244,99 @@ def build_stencil_backup(
         if t_hi - t_lo + 2 > max_taps_per_axis:
             raise ValueError(
                 f"axis {k}: {t_hi - t_lo + 2} taps exceed max_taps_per_axis="
-                f"{max_taps_per_axis}; shrink action_chunk or use the gather backup"
-            )
-        glob_min = int(off_c.min() + 0)  # global band (for padding)
+                f"{max_taps_per_axis}; shrink action_chunk or use the gather backup")
+        glob_min = int(off_c.min())
         glob_max = int(off_c.max())
         pads.append((-min(glob_min, 0), max(glob_max, 0) + 1))
         taps.append((t_lo, t_hi))
-        offs.append(jnp.asarray(res, jnp.int32))
+        res_list.append(res)
+        offs.append(res)
         # base as slice start into the padded table: pad_lo + base
         bases.append(base_k + pads[k][0])
 
-    # residual base -> adjust: slice start for tap t is base + (t - t_lo);
-    # ensure start >= 0: base + t_lo >= 0 given pad_lo >= -(glob_min) and
-    # base_k + t_lo >= glob_min.
     base = jnp.asarray(np.stack([b + taps[k][0] for k, b in enumerate(bases)],
                                 axis=1), jnp.int32)  # (C, d), start of tap t_lo
 
-    fr_c = []
+    fr_c, valid_taps = [], []
     for k in range(d):
         f = fr_np[k]
         if f.shape[-1] > 1:
-            fr_c.append(jnp.asarray(_chunk_axis(f, n_chunks, action_chunk)))
+            f_ch = _chunk_axis(f, n_chunks, action_chunk)
         else:
-            fr_c.append(jnp.asarray(np.broadcast_to(f[None], (n_chunks,) + f.shape)))
+            f_ch = np.broadcast_to(f[None], (n_chunks,) + f.shape)
+        fr_c.append(f_ch)
+        # prune taps with identically-zero weight: tap t is live iff some
+        # query has (off == t, weight 1-frac != 0) or (off == t-1, frac != 0)
+        res, fb = np.broadcast_arrays(res_list[k], f_ch)
+        t_lo, t_hi = taps[k]
+        live = []
+        for t in range(t_lo, t_hi + 2):
+            if np.any((res == t) & (1.0 - fb != 0.0)) or \
+               np.any((res == t - 1) & (fb != 0.0)):
+                live.append(t)
+        valid_taps.append(tuple(live))
 
-    cost = np.asarray(stage_cost, np.float32)
-    cost = np.broadcast_to(cost, q_shape)
-    cost_c = jnp.asarray(_chunk_axis(cost, n_chunks, action_chunk))
+    # Stage cost: one array or factorized broadcast terms. Terms that vary
+    # with the action get chunked; terms varying along state axis 0 (or the
+    # action) get blocked; fully invariant terms ride along as-is.
+    terms = (list(stage_cost) if isinstance(stage_cost, (tuple, list))
+             else [stage_cost])
+    cost_blocked, cost_static = [], []
+    for term in terms:
+        t = np.asarray(term, np.float32)
+        if t.ndim != len(q_shape):
+            t = t.reshape((1,) * (len(q_shape) - t.ndim) + t.shape)
+        action_dep = t.shape[-1] > 1
+        block_dep = state_blocks > 1 and t.shape[0] > 1
+        if not action_dep and not block_dep:
+            cost_static.append(jnp.asarray(t))
+            continue
+        if action_dep:
+            if t.shape[-1] != n_actions:
+                raise ValueError(
+                    f"cost term action dim {t.shape[-1]} != {n_actions}")
+            t_c = _chunk_axis(t, n_chunks, action_chunk)
+        else:
+            t_c = np.broadcast_to(t[None], (n_chunks,) + t.shape)
+        cost_blocked.append(jnp.asarray(np.ascontiguousarray(
+            _block_axis0(t_c, state_blocks))))
 
-    # taps in the operator are relative: rec() slices start at base (= tap
-    # t_lo position), so re-center taps at 0 for the slice arithmetic while
-    # keeping the weight comparison in residual-offset space.
+    off_j, fr_j, w_j = [], [], []
+    if weight_mode == "precomputed":
+        for k in range(d):
+            res, fb = np.broadcast_arrays(res_list[k], fr_c[k])
+            per_tap = []
+            for t in valid_taps[k]:
+                w = np.where(res == t, 1.0 - fb, 0.0) \
+                    + np.where(res == t - 1, fb, 0.0)
+                per_tap.append(jnp.asarray(np.ascontiguousarray(
+                    _block_axis0(w.astype(np.float32), state_blocks))))
+            w_j.append(tuple(per_tap))
+    elif weight_mode == "onthefly":
+        for k in range(d):
+            off_j.append(jnp.asarray(np.ascontiguousarray(
+                _block_axis0(offs[k], state_blocks)), jnp.int32))
+            fr_j.append(jnp.asarray(np.ascontiguousarray(
+                _block_axis0(fr_c[k], state_blocks))))
+    else:
+        raise ValueError(f"unknown weight_mode {weight_mode!r}")
+
+    block_starts = jnp.asarray(
+        np.arange(state_blocks, dtype=np.int32) * (state_shape[0] // state_blocks))
+
     return StencilBackup(
-        off_res=tuple(offs),
-        frac=tuple(fr_c),
+        off_res=tuple(off_j),
+        frac=tuple(fr_j),
+        weights=tuple(w_j),
         base=base,
-        cost=cost_c,
+        block_starts=block_starts,
+        cost_blocked=tuple(cost_blocked),
+        cost_static=tuple(cost_static),
         grid_shape=plan.grid_shape,
         state_shape=state_shape,
+        block_shape=block_shape,
         taps=tuple(taps),
+        valid_taps=tuple(valid_taps),
         pad=tuple(pads),
         chunk=action_chunk,
         n_actions=n_actions,

@@ -1,0 +1,122 @@
+"""Attitude model: simplified + full 6-D solves vs oracle, rollouts, PD baseline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ocdp_tpu.models import attitude
+from oracle import bellman_backup as oracle_backup
+
+DEG = np.pi / 180.0
+
+
+def small_cfg(**kw):
+    base = dict(n_mesh_w=9, n_mesh_t=11, n_mesh_q=5, T_final=0.25,
+                w_min_deg=-50.0, w_max_deg=50.0)
+    base.update(kw)
+    return attitude.AttitudeConfig(**base)
+
+
+@pytest.mark.parametrize("impl", ["gather", "stencil"])
+def test_simplified_matches_oracle(impl):
+    cfg = small_cfg()
+    sol = attitude.solve_simplified(cfg, num_sweeps=6, impl=impl)
+    c_h = 1 + cfg.h / 2 + cfg.h**2 / 6 + cfg.h**3 / 24
+    for i in range(3):
+        s_w, s_t = sol.axes[i]
+        J = cfg.inertia_diag[i]
+        w = s_w.astype(np.float64)[:, None, None]
+        t = s_t.astype(np.float64)[None, :, None]
+        u = cfg.u_vector.astype(np.float64)[None, None, :]
+        nxt = np.stack(np.broadcast_arrays(w + cfg.h * u / J,
+                                           t + cfg.h * w * c_h), axis=-1)
+        cost = cfg.Qw[i] * w**2 + cfg.Qq[i] * t**2 + cfg.R[i] * u**2
+        cost = np.broadcast_to(cost, nxt.shape[:-1])
+        vv = np.zeros(nxt.shape[:-2])
+        for _ in range(6):
+            vv, aa = oracle_backup(vv, (s_w, s_t), nxt, cost)
+        np.testing.assert_allclose(np.asarray(sol.values[i]), vv,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sol.u_tables[i]),
+                                   cfg.u_vector[aa], atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["gather", "stencil"])
+def test_full_6d_matches_oracle(impl):
+    cfg = small_cfg(n_mesh_w=4, n_mesh_q=3, w_min_deg=-20.0, w_max_deg=20.0)
+    grid, plan, cost = attitude.build_full(cfg)
+    sol = attitude.solve_full(cfg, num_sweeps=3, impl=impl)
+
+    # rebuild queries in float64 via the plan itself is circular; instead
+    # verify against the oracle using the plan's own query coordinates,
+    # reconstructed from (lo, frac) on the axes (independent arithmetic).
+    axes = grid.axes
+    qs = []
+    for k in range(6):
+        lo = np.asarray(plan.lo[k])
+        fr = np.asarray(plan.frac[k])
+        g = axes[k].astype(np.float64)
+        q = g[lo] + fr * (g[np.minimum(lo + 1, len(g) - 1)] - g[lo])
+        qs.append(np.broadcast_to(q, plan.query_shape))
+    nxt = np.stack(qs, axis=-1)
+    cost_np = np.zeros(plan.query_shape)
+    for term in cost:  # factorized broadcast terms
+        cost_np = cost_np + np.asarray(term, np.float64)
+    vv = np.zeros(grid.shape)
+    for _ in range(3):
+        vv, aa = oracle_backup(vv, axes, nxt, cost_np)
+    np.testing.assert_allclose(np.asarray(sol.result.values), vv,
+                               rtol=1e-4, atol=1e-4)
+    agree = (np.asarray(sol.result.argmin) == aa).mean()
+    assert agree > 0.995
+
+
+@pytest.fixture(scope="module")
+def full_solution():
+    # feasible-scale 6-D solve (the .asv history ran 11^3 x 10^3 likewise);
+    # shared across tests — the solve is the expensive part
+    cfg = small_cfg(n_mesh_w=11, n_mesh_q=7, T_final=30.0)
+    # onthefly + closure constants is the fast configuration on CPU
+    return attitude.solve_full(cfg, num_sweeps=1000, action_chunk=27,
+                               weight_mode="onthefly")
+
+
+def test_full_u_tables_decode_chained_argmin(full_solution):
+    sol = full_solution
+    u = np.asarray(sol.u_tables)
+    assert u.shape == (3,) + sol.grid.shape
+    assert np.isin(np.round(u.astype(np.float64), 4), [-0.11, 0.0, 0.11]).all()
+
+
+def test_rollout_full_damps_attitude(full_solution):
+    sol = full_solution
+    X, U, ang = attitude.rollout_full(sol, num_stages=4000)
+    X = np.asarray(X)
+    ang = np.asarray(ang)
+    assert np.all(np.isfinite(X))
+    # starts at (5, 10, -9) deg; settles to within ~half a grid cell
+    a_end = np.abs(ang[-200:]).mean(axis=0)
+    w_end = np.abs(X[-200:, :3]).mean(axis=0)
+    assert np.all(a_end < 4 * DEG), a_end / DEG
+    assert np.all(w_end < 6 * DEG), w_end / DEG
+
+
+def test_rollout_simplified_on_real_dynamics():
+    cfg = small_cfg(n_mesh_w=31, n_mesh_t=31, T_final=30.0)
+    sol = attitude.solve_simplified(cfg, num_sweeps=800)
+    X, U = attitude.rollout_simplified_real_dynamics(sol, num_stages=2000)
+    X = np.asarray(X)
+    assert np.all(np.isfinite(X))
+    qn = np.linalg.norm(X[:, 3:7], axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-4)
+    # kirk q-vec (attitude error) shrinks
+    assert np.linalg.norm(X[-1, 3:6]) < 0.5 * np.linalg.norm(X[0, 3:6])
+
+
+def test_linear_control_response_baseline():
+    cfg = small_cfg()
+    X, U, drift = attitude.linear_control_response(cfg, T_final=30.0)
+    X = np.asarray(X)
+    assert float(drift) < 1e-5
+    assert np.linalg.norm(X[-1, 3:6]) < 0.05 * np.linalg.norm(X[0, 3:6])
+    assert np.linalg.norm(X[-1, 0:3]) < 1e-2

@@ -1,0 +1,52 @@
+"""Diagnostics: compare_solutions, stage probes, viz smoke tests."""
+
+import numpy as np
+
+from ocdp_tpu import value_iteration_finite
+from ocdp_tpu.diagnostics import compare_solutions, compare_stage_probes
+from ocdp_tpu.models import kirk
+
+
+def test_compare_solutions_and_probes():
+    cfg = kirk.KirkConfig(N=8, dx=12, du=9)
+    p = kirk.build(cfg)
+    win = ((4, 3), (5, 3))
+    a = value_iteration_finite(p.plan, p.stage_cost, 7, probe_window=win)
+    b = value_iteration_finite(p.plan, p.stage_cost, 7, probe_window=win)
+    rep = compare_solutions(a, b)
+    assert rep and rep.max_value_diff == 0.0 and rep.policy_mismatch_frac == 0.0
+    assert a.probes.shape == (7, 3, 3)
+    assert compare_stage_probes(a.probes, b.probes)
+    # perturbed run must NOT compare equal
+    c = value_iteration_finite(p.plan, p.stage_cost + np.float32(1e-3), 7,
+                               probe_window=win)
+    assert not compare_solutions(a, c)
+    assert not compare_stage_probes(a.probes, c.probes)
+    # probe window equals the same slice of the final table at the last sweep
+    np.testing.assert_array_equal(np.asarray(a.probes[-1]),
+                                  np.asarray(a.values[4:7, 5:8]))
+
+
+def test_viz_smoke(tmp_path):
+    from ocdp_tpu import viz
+
+    cfg = kirk.KirkConfig(N=6, dx=10, du=7)
+    sol = kirk.solve(cfg)
+    X, U = kirk.optimal_path(sol, (1.0, 0.5))
+    u_star = np.asarray(sol.u_star)
+    axes = sol.problem.grid.axes
+    f1 = viz.plot_policy_surface(u_star[0], axes, stage=0,
+                                 path=str(tmp_path / "surf.png"))
+    f2 = viz.plot_policy_stages(u_star, axes, path=str(tmp_path / "stages.png"))
+    f3 = viz.plot_rollout(np.arange(len(X)) * 1.0, X, U,
+                          path=str(tmp_path / "roll.png"))
+    T = np.arange(9)
+    f4 = viz.plot_thruster_dashboard(T, np.zeros((8, 12)),
+                                     path=str(tmp_path / "thr.png"))
+    f5 = viz.plot_forces_moments(T, np.zeros((8, 6)),
+                                 path=str(tmp_path / "fm.png"))
+    for name in ("surf", "stages", "roll", "thr", "fm"):
+        assert (tmp_path / f"{name}.png").stat().st_size > 0
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

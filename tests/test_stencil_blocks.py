@@ -1,0 +1,39 @@
+"""State-blocked stencil == unblocked stencil == gather backup."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ocdp_tpu import bellman_backup
+from ocdp_tpu.models import kirk
+from ocdp_tpu.ops.stencil import build_stencil_backup
+
+
+@pytest.mark.parametrize("blocks", [2, 4])
+def test_blocked_matches_unblocked(blocks):
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    v = jnp.asarray(np.random.default_rng(0).normal(size=(20, 20)), jnp.float32)
+    ref = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10)(v)
+    got = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, state_blocks=blocks)(v)
+    np.testing.assert_array_equal(np.asarray(got.values), np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin), np.asarray(ref.argmin))
+
+
+def test_blocked_matches_gather_with_factorized_cost():
+    problem = kirk.build(kirk.KirkConfig(N=8, dx=16, du=20))
+    cfg = problem.config
+    s = problem.grid.axes[0]
+    x1 = jnp.asarray(s)[:, None, None]
+    x2 = jnp.asarray(s)[None, :, None]
+    u = jnp.asarray(problem.u_mesh)[None, None, :]
+    terms = (cfg.Q[0] * x1**2, cfg.Q[1] * x2**2, cfg.R * u**2)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(16, 16)), jnp.float32)
+    ref = bellman_backup(v, problem.plan, terms)
+    got = build_stencil_backup(problem.plan, terms, action_chunk=5,
+                               state_blocks=4)(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=2e-6, atol=2e-6)
+    mism = np.asarray(got.argmin) != np.asarray(ref.argmin)
+    assert mism.mean() < 0.002
