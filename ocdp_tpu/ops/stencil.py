@@ -101,72 +101,79 @@ class StencilBackup:
     chunk: int = dataclasses.field(metadata=dict(static=True))
     n_actions: int = dataclasses.field(metadata=dict(static=True))
 
-    def __call__(self, values: jax.Array) -> BackupResult:
+    def block_sweep(self, v_pad: jax.Array, xs):
+        """One output block's fused min/argmin sweep against ``v_pad``.
+
+        ``v_pad`` is the value table padded by ``self.pad`` (in the halo
+        engine the axis-0 padding is neighbor-exchanged halo slabs instead).
+        ``xs = (b_start, offs, fracs, weights, costs)`` with the leading
+        (B,) axis already stripped.
+        """
         d = len(self.grid_shape)
-        v_pad = jnp.pad(values, self.pad)
+        b_start, offs_b, fracs_b, weights_b, costs_b = xs
 
-        def block_fn(xs):
-            b_start, offs_b, fracs_b, weights_b, costs_b = xs
+        def chunk_step(carry, cxs):
+            best_v, best_a, a_offset = carry
+            (offs, fracs, weights, costs), base = cxs
 
-            def chunk_step(carry, cxs):
-                best_v, best_a, a_offset = carry
-                (offs, fracs, weights, costs), base = cxs
-
-                wstacks = []
-                for k in range(d):
-                    ws = {}
-                    if self.weights:
-                        for i, t in enumerate(self.valid_taps[k]):
-                            ws[t] = weights[k][i]
-                    else:
-                        for t in self.valid_taps[k]:
-                            ws[t] = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) \
-                                + jnp.where(offs[k] == t - 1, fracs[k], 0.0)
-                    wstacks.append(ws)
-
-                def rec(k, starts):
-                    if k == d:
-                        leaf = jax.lax.dynamic_slice(v_pad, starts,
-                                                     self.block_shape)
-                        return leaf[..., None]
-                    lo_t = self.taps[k][0]
-                    acc = None
+            wstacks = []
+            for k in range(d):
+                ws = {}
+                if self.weights:
+                    for i, t in enumerate(self.valid_taps[k]):
+                        ws[t] = weights[k][i]
+                else:
                     for t in self.valid_taps[k]:
-                        start_k = base[k] + (t - lo_t)
-                        if k == 0:
-                            start_k = start_k + b_start
-                        term = wstacks[k][t] * rec(k + 1, starts + (start_k,))
-                        acc = term if acc is None else acc + term
-                    return acc
+                        ws[t] = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) \
+                            + jnp.where(offs[k] == t - 1, fracs[k], 0.0)
+                wstacks.append(ws)
 
-                total = rec(0, ())
-                for term in costs:
-                    total = total + term
-                for term in self.cost_static:
-                    total = total + term
-                total = jnp.broadcast_to(total, self.block_shape + (self.chunk,))
-                m = jnp.min(total, axis=-1)
-                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
-                better = m < best_v  # strict: earlier chunk wins ties
-                return (jnp.where(better, m, best_v),
-                        jnp.where(better, a, best_a),
-                        a_offset + self.chunk), None
+            def rec(k, starts):
+                if k == d:
+                    leaf = jax.lax.dynamic_slice(v_pad, starts,
+                                                 self.block_shape)
+                    return leaf[..., None]
+                lo_t = self.taps[k][0]
+                acc = None
+                for t in self.valid_taps[k]:
+                    start_k = base[k] + (t - lo_t)
+                    if k == 0:
+                        start_k = start_k + b_start
+                    term = wstacks[k][t] * rec(k + 1, starts + (start_k,))
+                    acc = term if acc is None else acc + term
+                return acc
 
-            init = (jnp.full(self.block_shape, jnp.inf, jnp.float32),
-                    jnp.zeros(self.block_shape, jnp.int32),
-                    jnp.asarray(0, jnp.int32))
-            (vals, args, _), _ = jax.lax.scan(
-                chunk_step, init,
-                ((offs_b, fracs_b, weights_b, costs_b), self.base))
-            return vals, args
+            total = rec(0, ())
+            for term in costs:
+                total = total + term
+            for term in self.cost_static:
+                total = total + term
+            total = jnp.broadcast_to(total, self.block_shape + (self.chunk,))
+            m = jnp.min(total, axis=-1)
+            a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+            better = m < best_v  # strict: earlier chunk wins ties
+            return (jnp.where(better, m, best_v),
+                    jnp.where(better, a, best_a),
+                    a_offset + self.chunk), None
 
+        init = (jnp.full(self.block_shape, jnp.inf, jnp.float32),
+                jnp.zeros(self.block_shape, jnp.int32),
+                jnp.asarray(0, jnp.int32))
+        (vals, args, _), _ = jax.lax.scan(
+            chunk_step, init,
+            ((offs_b, fracs_b, weights_b, costs_b), self.base))
+        return vals, args
+
+    def __call__(self, values: jax.Array) -> BackupResult:
+        v_pad = jnp.pad(values, self.pad)
         n_blocks = self.block_starts.shape[0]
         xs = (self.block_starts, self.off_res, self.frac, self.weights,
               self.cost_blocked)
         if n_blocks == 1:
-            vals, args = block_fn(jax.tree.map(lambda a: a[0], xs))
+            vals, args = self.block_sweep(v_pad,
+                                          jax.tree.map(lambda a: a[0], xs))
         else:
-            vals, args = jax.lax.map(block_fn, xs)
+            vals, args = jax.lax.map(lambda x: self.block_sweep(v_pad, x), xs)
             vals = vals.reshape(self.state_shape)
             args = args.reshape(self.state_shape)
         return BackupResult(vals, args)

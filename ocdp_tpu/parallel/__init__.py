@@ -6,6 +6,7 @@ north star: shard the DP backup over `jax.sharding.Mesh` axes with XLA
 collectives over ICI.
 """
 
+from .halo import value_iteration_finite_halo
 from .sharded import (
     ShardedPlan,
     shard_backup_inputs,
@@ -18,4 +19,5 @@ __all__ = [
     "shard_backup_inputs",
     "sharded_bellman_sweeps",
     "value_iteration_finite_sharded",
+    "value_iteration_finite_halo",
 ]

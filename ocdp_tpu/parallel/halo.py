@@ -1,0 +1,137 @@
+"""Halo-exchange sharded value iteration: the value table itself is sharded.
+
+The replicated-table engine (``parallel/sharded.py``) all_gathers the whole
+table every sweep — fine when the table is small next to the S x A query
+work. For HBM-budget-bound grids (the 6-D attitude family, SURVEY.md §5
+"long context" analog) the TPU-native design is to keep each device's value
+BLOCK resident and exchange only the **interpolation stencil boundary
+slabs** with ring neighbors over ICI (`ppermute`) — functionally the
+ring-attention neighbor pass:
+
+* the state grid's axis 0 is blocked across the mesh axis; device d owns
+  rows [d*b, (d+1)*b);
+* the stencil's axis-0 band (pad widths = the dynamics' true reach,
+  h*max|xdot| / cell size, computed at build time) gives the halo widths;
+  each sweep every device sends its top rows left and bottom rows right —
+  one bidirectional ppermute pair, nothing else moves;
+* edge devices receive zeros from the missing neighbor, which matches the
+  single-chip stencil's zero padding exactly (out-of-band taps have
+  identically-zero weights);
+* per-sweep ICI traffic is O(halo x row) per device vs O(whole table) for
+  the all_gather engine.
+
+Requires halo width <= block height (reach spanning more than one neighbor
+would need multi-hop exchange — raise and let the caller re-block).
+Results are bitwise identical to the single-chip stencil backup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..engine import SolveResult
+from ..ops.interp import InterpPlan
+from ..ops.stencil import StencilBackup, build_stencil_backup
+
+__all__ = ["value_iteration_finite_halo"]
+
+
+def _halo_pad_axis0(v_local, axis_name, lo, hi, n_dev):
+    """Assemble [left_halo; v_local; right_halo] along axis 0.
+
+    Left halo = bottom ``lo`` rows of the left neighbor; right halo = top
+    ``hi`` rows of the right neighbor. Missing neighbors (grid edges)
+    contribute zeros — ppermute's semantics for absent sources.
+    """
+    parts = []
+    if lo:
+        parts.append(jax.lax.ppermute(
+            v_local[-lo:], axis_name, [(i, i + 1) for i in range(n_dev - 1)]))
+    parts.append(v_local)
+    if hi:
+        parts.append(jax.lax.ppermute(
+            v_local[:hi], axis_name, [(i + 1, i) for i in range(n_dev - 1)]))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else v_local
+
+
+def value_iteration_finite_halo(
+    plan: InterpPlan,
+    stage_cost,
+    num_sweeps: int,
+    mesh: Mesh,
+    *,
+    axis_name: str = "s",
+    action_chunk: Optional[int] = None,
+    weight_mode: str = "onthefly",
+    init_values: Optional[jax.Array] = None,
+    store_policies: bool = False,
+) -> SolveResult:
+    """Finite-horizon value iteration with a sharded table + halo exchange.
+
+    The state grid's axis 0 must be divisible by the mesh axis size. Returns
+    global (unsharded) results identical to the single-chip stencil engine.
+    """
+    n_dev = mesh.shape[axis_name]
+    sb = build_stencil_backup(plan, stage_cost, action_chunk=action_chunk,
+                              state_blocks=n_dev, weight_mode=weight_mode)
+    lo0, hi0 = sb.pad[0]
+    block0 = sb.block_shape[0]
+    if max(lo0, hi0) > block0:
+        raise ValueError(
+            f"halo widths {sb.pad[0]} exceed the per-device block height "
+            f"{block0}; use fewer devices or the all_gather engine")
+    other_pads = ((0, 0),) + tuple(sb.pad[1:])
+    grid_shape = sb.grid_shape
+    state_ndim = len(sb.state_shape)
+
+    if init_values is None:
+        init_values = jnp.zeros(grid_shape, jnp.float32)
+
+    def run(v_blk, offs, fracs, weights, costs):
+        # shard_map hands each device its (1, C, ...) slice; strip B axis.
+        local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs))
+        # slice starts are relative to the local padded table, so b_start=0
+        xs = (jnp.asarray(0, jnp.int32),) + local
+
+        def sweep(carry, _):
+            v_local, _ = carry
+            v_halo = _halo_pad_axis0(v_local, axis_name, lo0, hi0, n_dev)
+            v_pad = jnp.pad(v_halo, other_pads)
+            vals, args = sb.block_sweep(v_pad, xs)
+            return (vals, args), (args if store_policies else None)
+
+        init = (v_blk, jnp.zeros(sb.block_shape, jnp.int32))
+        (v_fin, args), pols = jax.lax.scan(sweep, init, None,
+                                           length=num_sweeps)
+        if store_policies:
+            return v_fin, args, pols
+        return v_fin, args
+
+    blocked = P(*([axis_name] + [None] * (state_ndim - 1)))
+    arr_spec = jax.tree.map(
+        lambda a: P(*([axis_name] + [None] * (a.ndim - 1))),
+        (sb.off_res, sb.frac, sb.weights, sb.cost_blocked),
+    )
+    in_specs = (blocked,) + arr_spec
+    pol_spec = P(*([None, axis_name] + [None] * (state_ndim - 1)))
+    out_specs = (blocked, blocked, pol_spec) if store_policies \
+        else (blocked, blocked)
+
+    fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    out = jax.jit(fn)(init_values, sb.off_res, sb.frac, sb.weights,
+                      sb.cost_blocked)
+    values, argmin = out[0], out[1]
+    policies = out[2] if store_policies else None
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=policies,
+        num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
+        converged=jnp.asarray(False),
+    )
