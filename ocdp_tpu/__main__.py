@@ -1,0 +1,151 @@
+"""Command-line interface: ``python -m ocdp_tpu <command> ...``.
+
+The reference has no CLI ("editing the file IS the config system",
+SURVEY.md §5) — this exposes the four problem families with their reference
+defaults as named configs.
+
+Commands:
+  solve    {kirk|position|attitude|attitude-full|pos-att} [--out DIR] [...]
+  rollout  {kirk|position|attitude-full|pos-att} [--plot DIR] [...]
+  bench    (the Kirk backups/s benchmark; same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("problem", choices=["kirk", "position", "attitude",
+                                       "attitude-full", "pos-att"])
+    p.add_argument("--sweeps", type=int, default=None,
+                   help="override number of sweeps")
+    p.add_argument("--impl", default="stencil", choices=["stencil", "gather"])
+
+
+def cmd_solve(args):
+    t0 = time.time()
+    if args.problem == "kirk":
+        from .models import kirk
+
+        sol = kirk.solve(kirk.KirkConfig(), impl=args.impl)
+        out = {"values_sum": float(np.asarray(sol.result.values).sum())}
+    elif args.problem == "position":
+        from .models import position
+
+        sol = position.solve(position.PositionConfig(),
+                             num_sweeps=args.sweeps, impl=args.impl)
+        out = {"values_sum": float(np.asarray(sol.result.values).sum())}
+    elif args.problem == "attitude":
+        from .models import attitude
+
+        sol = attitude.solve_simplified(attitude.AttitudeConfig(),
+                                        num_sweeps=args.sweeps, impl=args.impl)
+        out = {"values_sum": float(sum(np.asarray(v).sum() for v in sol.values))}
+    elif args.problem == "attitude-full":
+        from .models import attitude
+
+        cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
+                                      n_mesh_q=args.n_mesh_q)
+        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps, impl=args.impl)
+        out = {"values_sum": float(np.asarray(sol.result.values).sum())}
+    else:
+        from .models import pos_att
+
+        sol = pos_att.solve(pos_att.PosAttConfig(), impl=args.impl,
+                            save_dir=args.out)
+        out = {ch: float(np.asarray(c.values).sum())
+               for ch, c in sol.controllers.items()}
+    out["wall_s"] = round(time.time() - t0, 2)
+    out["problem"] = args.problem
+    print(json.dumps(out))
+
+
+def cmd_rollout(args):
+    t0 = time.time()
+    if args.problem == "kirk":
+        from .models import kirk
+
+        sol = kirk.solve(kirk.KirkConfig.golden(), impl=args.impl)
+        X, U = kirk.optimal_path(sol, (2.0, 1.0))
+        out = {"x_final": np.asarray(X)[-1].tolist()}
+        if args.plot:
+            from . import viz
+
+            viz.plot_rollout(np.arange(len(np.asarray(X))), X, U,
+                             path=f"{args.plot}/kirk_rollout.png")
+    elif args.problem == "position":
+        from .models import position
+
+        sol = position.solve(position.PositionConfig(), num_sweeps=args.sweeps)
+        T, X, U = position.get_optimal_path(sol)
+        out = {"x_final": np.asarray(X)[-1, :3].tolist()}
+        if args.plot:
+            from . import viz
+
+            viz.plot_rollout(T, X, U, path=f"{args.plot}/position_rollout.png")
+    elif args.problem == "attitude-full":
+        from .models import attitude
+
+        cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
+                                      n_mesh_q=args.n_mesh_q)
+        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps)
+        X, U, ang = attitude.rollout_full(sol)
+        out = {"angles_final_deg": (np.abs(np.asarray(ang)[-100:]).mean(axis=0)
+                                    * 180 / np.pi).tolist()}
+    else:
+        from .models import pos_att
+
+        sol = pos_att.solve(pos_att.PosAttConfig(), include_failure=False)
+        T, X, F_th, FM = pos_att.get_optimal_path(sol)
+        out = {"x_final": np.asarray(X)[-1, :3].tolist()}
+        if args.plot:
+            from . import viz
+
+            viz.plot_thruster_dashboard(T, F_th,
+                                        path=f"{args.plot}/thrusters.png")
+            viz.plot_forces_moments(T, FM, path=f"{args.plot}/forces.png")
+    out["wall_s"] = round(time.time() - t0, 2)
+    out["problem"] = args.problem
+    print(json.dumps(out))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ocdp_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("solve", help="run a value-iteration solve")
+    _add_common(ps)
+    ps.add_argument("--out", default=None, help="controller save dir (pos-att)")
+    ps.add_argument("--n-mesh-w", type=int, default=15, dest="n_mesh_w")
+    ps.add_argument("--n-mesh-q", type=int, default=9, dest="n_mesh_q")
+    ps.set_defaults(fn=cmd_solve)
+
+    pr = sub.add_parser("rollout", help="solve + closed-loop rollout")
+    _add_common(pr)
+    pr.add_argument("--plot", default=None, help="directory for plots")
+    pr.add_argument("--n-mesh-w", type=int, default=11, dest="n_mesh_w")
+    pr.add_argument("--n-mesh-q", type=int, default=7, dest="n_mesh_q")
+    pr.set_defaults(fn=cmd_rollout)
+
+    pb = sub.add_parser("bench", help="Kirk backups/s benchmark")
+    pb.set_defaults(fn=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "bench":
+        import pathlib
+        import runpy
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        runpy.run_module("bench", run_name="__main__")
+        return
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ __all__ = [
     "SolveResult",
     "value_iteration_finite",
     "value_iteration_converged",
+    "value_iteration_segmented",
     "policy_dtype_for",
 ]
 
@@ -185,4 +186,88 @@ def value_iteration_converged(
         policies=None,
         num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
         converged=converged,
+    )
+
+
+def value_iteration_segmented(
+    plan: InterpPlan,
+    stage_cost,
+    num_sweeps: int,
+    *,
+    segment_size: int = 100,
+    init_values: Optional[jax.Array] = None,
+    start_sweep: int = 0,
+    backup=None,
+    store_policies: bool = False,
+    policy_dtype=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_axes=None,
+    on_segment=None,
+) -> SolveResult:
+    """Finite-horizon solve in host-visible segments.
+
+    Runs ``segment_size`` sweeps per jitted call (one compilation, reused),
+    returning control to the host between segments. This provides three
+    capabilities the reference lacks and that big solves need
+    (SURVEY.md §5 checkpoint/resume; §7 per-stage policy storage):
+
+    * **policy streaming**: with ``store_policies``, each segment's per-sweep
+      policy tables are fetched to HOST memory immediately, so device HBM
+      only ever holds one segment of tables (Dynamic_Solver stores all
+      N per-stage tables; on-device that limits grid x horizon).
+    * **mid-solve checkpointing**: with ``checkpoint_path``, the value table
+      and sweep index are written (``io.save_values``) after every segment.
+    * **resume**: pass ``init_values``/``start_sweep`` from
+      ``io.load_values`` to continue an interrupted solve.
+
+    ``on_segment(sweep_index, values)`` is an optional host callback (e.g.
+    progress logging — the reference prints per-stage timings,
+    Dynamic_Solver.m:87,101).
+
+    Returns a SolveResult whose ``policies`` (if stored) is a HOST numpy
+    array of shape (num_sweeps - start_sweep, *state_shape).
+    """
+    state_shape = plan.query_shape[:-1]
+    n_actions = plan.query_shape[-1]
+    pdt = policy_dtype or policy_dtype_for(n_actions)
+    if init_values is None:
+        v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
+    else:
+        v = jnp.asarray(init_values, dtype=jnp.float32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n", "store"))
+    def run_segment(v, n, store):
+        return value_iteration_finite(
+            plan, stage_cost, n, init_values=v, store_policies=store,
+            policy_dtype=pdt, backup=backup,
+        )
+
+    host_policies = [] if store_policies else None
+    sweep = start_sweep
+    argmin = None
+    while sweep < num_sweeps:
+        n = min(segment_size, num_sweeps - sweep)
+        res = run_segment(v, n, store_policies)
+        v = res.values
+        argmin = res.argmin
+        if store_policies:
+            host_policies.append(np.asarray(res.policies))  # device -> host
+        sweep += n
+        if checkpoint_path is not None:
+            from .io import save_values
+
+            save_values(checkpoint_path, v, sweep,
+                        checkpoint_axes if checkpoint_axes is not None else ())
+        if on_segment is not None:
+            on_segment(sweep, v)
+
+    policies = np.concatenate(host_policies, axis=0) if store_policies else None
+    return SolveResult(
+        values=v,
+        argmin=argmin,
+        policies=policies,
+        num_sweeps=jnp.asarray(num_sweeps - start_sweep, jnp.int32),
+        converged=jnp.asarray(False),
     )

@@ -87,7 +87,7 @@ class StencilBackup:
     # Keeps executables small (no foldable constants) AND avoids per-sweep
     # weight recomputation; costs HBM for the dense stacks.
     weights: tuple[tuple[jax.Array, ...], ...]
-    base: jax.Array                  # (C, d) int32 per-chunk slice base
+    base: jax.Array                  # (B, C, d) int32 per-(block, chunk) slice base
     block_starts: jax.Array          # (B,) int32 axis-0 output offsets
     cost_blocked: tuple[jax.Array, ...]  # terms with (B, C) leading axes
     cost_static: tuple[jax.Array, ...]   # fully broadcast terms (no B/C)
@@ -106,11 +106,11 @@ class StencilBackup:
 
         ``v_pad`` is the value table padded by ``self.pad`` (in the halo
         engine the axis-0 padding is neighbor-exchanged halo slabs instead).
-        ``xs = (b_start, offs, fracs, weights, costs)`` with the leading
-        (B,) axis already stripped.
+        ``xs = (b_start, offs, fracs, weights, costs, base)`` with the
+        leading (B,) axis already stripped.
         """
         d = len(self.grid_shape)
-        b_start, offs_b, fracs_b, weights_b, costs_b = xs
+        b_start, offs_b, fracs_b, weights_b, costs_b, base_b = xs
 
         def chunk_step(carry, cxs):
             best_v, best_a, a_offset = carry
@@ -161,14 +161,14 @@ class StencilBackup:
                 jnp.asarray(0, jnp.int32))
         (vals, args, _), _ = jax.lax.scan(
             chunk_step, init,
-            ((offs_b, fracs_b, weights_b, costs_b), self.base))
+            ((offs_b, fracs_b, weights_b, costs_b), base_b))
         return vals, args
 
     def __call__(self, values: jax.Array) -> BackupResult:
         v_pad = jnp.pad(values, self.pad)
         n_blocks = self.block_starts.shape[0]
         xs = (self.block_starts, self.off_res, self.frac, self.weights,
-              self.cost_blocked)
+              self.cost_blocked, self.base)
         if n_blocks == 1:
             vals, args = self.block_sweep(v_pad,
                                           jax.tree.map(lambda a: a[0], xs))
@@ -236,17 +236,25 @@ def build_stencil_backup(
             idx = np.arange(lo.shape[k], dtype=np.int64).reshape(idx_shape)
         off = lo.astype(np.int64) - idx          # true tap offset per query
 
-        if lo.shape[-1] > 1:  # varies with the action -> chunk + base shift
+        # chunk the action axis, block state axis 0, then absorb whatever
+        # drift varies per (block, chunk) into an integer base shift — the
+        # residual band (= tap count = leaf work) only has to cover the
+        # WITHIN-tile spread (e.g. Kirk's a21*x1 drift of the x2 queries
+        # vanishes into per-x1-block bases)
+        if lo.shape[-1] > 1:
             off_c = _chunk_axis(off, n_chunks, action_chunk)  # (C, ..., chunk)
-            red_axes = tuple(range(1, off_c.ndim))
-            bmin = off_c.min(axis=red_axes)
-            bmax = off_c.max(axis=red_axes)
-            base_k = ((bmin + bmax) // 2).astype(np.int64)    # (C,)
-            res = off_c - base_k.reshape((-1,) + (1,) * (off_c.ndim - 1))
         else:
             off_c = np.broadcast_to(off[None], (n_chunks,) + off.shape)
-            base_k = np.zeros(n_chunks, np.int64)
-            res = off_c
+        off_bc = _block_axis0(off_c, state_blocks)            # (B, C, ...)
+        if off.size > 1:
+            red_axes = tuple(range(2, off_bc.ndim))
+            bmin = off_bc.min(axis=red_axes)
+            bmax = off_bc.max(axis=red_axes)
+            base_k = ((bmin + bmax) // 2).astype(np.int64)    # (B, C)
+            res = off_bc - base_k.reshape(base_k.shape + (1,) * (off_bc.ndim - 2))
+        else:
+            base_k = np.zeros((state_blocks, n_chunks), np.int64)
+            res = np.broadcast_to(off_bc, (state_blocks, n_chunks) + off.shape)
         t_lo, t_hi = int(res.min()), int(res.max())
         if t_hi - t_lo + 2 > max_taps_per_axis:
             raise ValueError(
@@ -261,8 +269,9 @@ def build_stencil_backup(
         # base as slice start into the padded table: pad_lo + base
         bases.append(base_k + pads[k][0])
 
-    base = jnp.asarray(np.stack([b + taps[k][0] for k, b in enumerate(bases)],
-                                axis=1), jnp.int32)  # (C, d), start of tap t_lo
+    base = jnp.asarray(
+        np.stack([b + taps[k][0] for k, b in enumerate(bases)], axis=2),
+        jnp.int32)  # (B, C, d), start of tap t_lo
 
     fr_c, valid_taps = [], []
     for k in range(d):
@@ -271,6 +280,7 @@ def build_stencil_backup(
             f_ch = _chunk_axis(f, n_chunks, action_chunk)
         else:
             f_ch = np.broadcast_to(f[None], (n_chunks,) + f.shape)
+        f_ch = _block_axis0(f_ch, state_blocks)  # (B, C, ...)
         fr_c.append(f_ch)
         # prune taps with identically-zero weight: tap t is live iff some
         # query has (off == t, weight 1-frac != 0) or (off == t-1, frac != 0)
@@ -316,15 +326,13 @@ def build_stencil_backup(
             for t in valid_taps[k]:
                 w = np.where(res == t, 1.0 - fb, 0.0) \
                     + np.where(res == t - 1, fb, 0.0)
-                per_tap.append(jnp.asarray(np.ascontiguousarray(
-                    _block_axis0(w.astype(np.float32), state_blocks))))
+                per_tap.append(jnp.asarray(
+                    np.ascontiguousarray(w.astype(np.float32))))
             w_j.append(tuple(per_tap))
     elif weight_mode == "onthefly":
         for k in range(d):
-            off_j.append(jnp.asarray(np.ascontiguousarray(
-                _block_axis0(offs[k], state_blocks)), jnp.int32))
-            fr_j.append(jnp.asarray(np.ascontiguousarray(
-                _block_axis0(fr_c[k], state_blocks))))
+            off_j.append(jnp.asarray(np.ascontiguousarray(offs[k]), jnp.int32))
+            fr_j.append(jnp.asarray(np.ascontiguousarray(fr_c[k])))
     else:
         raise ValueError(f"unknown weight_mode {weight_mode!r}")
 

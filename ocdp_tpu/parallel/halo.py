@@ -92,9 +92,9 @@ def value_iteration_finite_halo(
     if init_values is None:
         init_values = jnp.zeros(grid_shape, jnp.float32)
 
-    def run(v_blk, offs, fracs, weights, costs):
+    def run(v_blk, offs, fracs, weights, costs, base):
         # shard_map hands each device its (1, C, ...) slice; strip B axis.
-        local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs))
+        local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs, base))
         # slice starts are relative to the local padded table, so b_start=0
         xs = (jnp.asarray(0, jnp.int32),) + local
 
@@ -115,7 +115,7 @@ def value_iteration_finite_halo(
     blocked = P(*([axis_name] + [None] * (state_ndim - 1)))
     arr_spec = jax.tree.map(
         lambda a: P(*([axis_name] + [None] * (a.ndim - 1))),
-        (sb.off_res, sb.frac, sb.weights, sb.cost_blocked),
+        (sb.off_res, sb.frac, sb.weights, sb.cost_blocked, sb.base),
     )
     in_specs = (blocked,) + arr_spec
     pol_spec = P(*([None, axis_name] + [None] * (state_ndim - 1)))
@@ -125,7 +125,7 @@ def value_iteration_finite_halo(
     fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     out = jax.jit(fn)(init_values, sb.off_res, sb.frac, sb.weights,
-                      sb.cost_blocked)
+                      sb.cost_blocked, sb.base)
     values, argmin = out[0], out[1]
     policies = out[2] if store_policies else None
     return SolveResult(
