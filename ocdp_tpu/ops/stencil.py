@@ -100,6 +100,12 @@ class StencilBackup:
     pad: tuple[tuple[int, int], ...] = dataclasses.field(metadata=dict(static=True))
     chunk: int = dataclasses.field(metadata=dict(static=True))
     n_actions: int = dataclasses.field(metadata=dict(static=True))
+    # rolled flat-shift mode: taps swept by nested lax.scan over a FLAT view
+    # of the table (offsets compose linearly across axes; wrapped reads pair
+    # with exactly-zero weights). HLO is O(d * taps) instead of O(prod taps).
+    rolled: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    strides: tuple[int, ...] = dataclasses.field(default=(), metadata=dict(static=True))
+    flat_pad: tuple[int, int] = dataclasses.field(default=(0, 0), metadata=dict(static=True))
 
     def block_sweep(self, v_pad: jax.Array, xs):
         """One output block's fused min/argmin sweep against ``v_pad``.
@@ -115,6 +121,21 @@ class StencilBackup:
         def chunk_step(carry, cxs):
             best_v, best_a, a_offset = carry
             (offs, fracs, weights, costs), base = cxs
+
+            if self.rolled:
+                total = self._rolled_interp(v_pad, b_start, offs, fracs, base)
+                for term in costs:
+                    total = total + term
+                for term in self.cost_static:
+                    total = total + term
+                total = jnp.broadcast_to(total,
+                                         self.block_shape + (self.chunk,))
+                m = jnp.min(total, axis=-1)
+                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+                better = m < best_v
+                return (jnp.where(better, m, best_v),
+                        jnp.where(better, a, best_a),
+                        a_offset + self.chunk), None
 
             wstacks = []
             for k in range(d):
@@ -164,8 +185,47 @@ class StencilBackup:
             ((offs_b, fracs_b, weights_b, costs_b), base_b))
         return vals, args
 
+    def _rolled_interp(self, v_flat, b_start, offs, fracs, base):
+        """Interpolation via nested tap scans over the FLAT table.
+
+        ``v_flat`` is the row-major-flattened table padded by
+        ``self.flat_pad``. Axis offsets compose linearly into one flat slice
+        start; reads that wrap across a row boundary belong to taps whose
+        weight is identically zero at those elements (taps with weight point
+        at lo/lo+1, always inside the true grid), so 0 * garbage = 0.
+        """
+        d = len(self.grid_shape)
+        L = int(np.prod(self.block_shape))
+        full = self.block_shape + (self.chunk,)
+        s0 = self.flat_pad[0] + b_start * self.strides[0]
+
+        def rec(k, flat_off):
+            if k == d:
+                leaf = jax.lax.dynamic_slice(v_flat, (flat_off,), (L,))
+                return jnp.broadcast_to(
+                    leaf.reshape(self.block_shape)[..., None], full)
+            t_lo, t_hi = self.taps[k]
+            # raw (unpadded) base: stored base = pad_lo + base_raw + t_lo
+            base_raw = base[k] - (self.pad[k][0] + t_lo)
+
+            def body(acc, r):
+                w = jnp.where(offs[k] == r, 1.0 - fracs[k], 0.0) \
+                    + jnp.where(offs[k] == r - 1, fracs[k], 0.0)
+                inner = rec(k + 1,
+                            flat_off + (base_raw + r) * self.strides[k])
+                return acc + w * inner, None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(full, jnp.float32),
+                                  jnp.arange(t_lo, t_hi + 2))
+            return acc
+
+        return rec(0, s0)
+
     def __call__(self, values: jax.Array) -> BackupResult:
-        v_pad = jnp.pad(values, self.pad)
+        if self.rolled:
+            v_pad = jnp.pad(values.reshape(-1), self.flat_pad)
+        else:
+            v_pad = jnp.pad(values, self.pad)
         n_blocks = self.block_starts.shape[0]
         xs = (self.block_starts, self.off_res, self.frac, self.weights,
               self.cost_blocked, self.base)
@@ -187,6 +247,7 @@ def build_stencil_backup(
     state_blocks: int = 1,
     max_taps_per_axis: int = 64,
     weight_mode: str = "onthefly",
+    rolled: bool = False,
 ) -> StencilBackup:
     """Analyze a plan's tap geometry and build the stencil operator.
 
@@ -202,7 +263,14 @@ def build_stencil_backup(
     on the host and ships them as inputs — use for big separable problems
     (attitude 6-D) where constant-folding would bloat the executable past
     the remote-compile tunnel's limits.
+
+    ``rolled``: sweep taps with nested ``lax.scan`` over a flat view of the
+    table instead of the unrolled shifted-slice tree — O(d x taps) HLO
+    instead of O(prod taps), for high-dimensional problems whose unrolled
+    tree explodes compile time/memory. Implies onthefly weights.
     """
+    if rolled and weight_mode != "onthefly":
+        raise ValueError("rolled mode requires weight_mode='onthefly'")
     d = plan.ndim
     q_shape = plan.query_shape
     state_shape = q_shape[:-1]
@@ -339,6 +407,12 @@ def build_stencil_backup(
     block_starts = jnp.asarray(
         np.arange(state_blocks, dtype=np.int32) * (state_shape[0] // state_blocks))
 
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * state_shape[k + 1]
+    flat_pad = (sum(pads[k][0] * strides[k] for k in range(d)),
+                sum(pads[k][1] * strides[k] for k in range(d)))
+
     return StencilBackup(
         off_res=tuple(off_j),
         frac=tuple(fr_j),
@@ -355,4 +429,7 @@ def build_stencil_backup(
         pad=tuple(pads),
         chunk=action_chunk,
         n_actions=n_actions,
+        rolled=rolled,
+        strides=tuple(strides),
+        flat_pad=flat_pad,
     )

@@ -37,3 +37,32 @@ def test_blocked_matches_gather_with_factorized_cost():
                                rtol=2e-6, atol=2e-6)
     mism = np.asarray(got.argmin) != np.asarray(ref.argmin)
     assert mism.mean() < 0.002
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_rolled_flat_mode_matches_unrolled(blocks):
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    v = jnp.asarray(np.random.default_rng(2).normal(size=(20, 20)), jnp.float32)
+    ref = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10)(v)
+    got = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, rolled=True,
+                               state_blocks=blocks)(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=2e-6, atol=2e-6)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.998
+
+
+def test_rolled_6d_matches_unrolled():
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=4, n_mesh_q=3, T_final=0.25,
+                                  n_mesh_t=5)
+    grid, plan, cost = attitude.build_full(cfg)
+    v = jnp.asarray(np.random.default_rng(3).normal(size=grid.shape),
+                    jnp.float32)
+    ref = build_stencil_backup(plan, cost, action_chunk=27)(v)
+    got = build_stencil_backup(plan, cost, action_chunk=9, rolled=True)(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=3e-6, atol=3e-6)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.99
