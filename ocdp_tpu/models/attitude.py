@@ -189,6 +189,10 @@ def solve_simplified(
         backup = None
         if impl == "stencil":
             backup = build_stencil_backup(plan, cost)
+        elif impl == "pallas":
+            from ..ops.pallas_backup import build_pallas_backup_2d
+
+            backup = build_pallas_backup_2d(plan, cost)
         elif impl != "gather":
             raise ValueError(f"unknown impl {impl!r}")
 
