@@ -119,6 +119,11 @@ def solve(
         chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
         backup = build_stencil_backup(problem.plan, problem.stage_cost,
                                       action_chunk=chunk)
+    elif impl == "pallas":
+        from ..ops.pallas_lti import build_pallas_lti_backup
+
+        chunk = config.du if config.du <= 128 else _largest_divisor_leq(config.du, 100)
+        backup = build_pallas_lti_backup(config, u_chunk=chunk)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
