@@ -106,6 +106,13 @@ class StencilBackup:
     rolled: bool = dataclasses.field(default=False, metadata=dict(static=True))
     strides: tuple[int, ...] = dataclasses.field(default=(), metadata=dict(static=True))
     flat_pad: tuple[int, int] = dataclasses.field(default=(0, 0), metadata=dict(static=True))
+    # clamp-split: per axis (has_low_extrap, has_high_extrap). When set, the
+    # interior band covers only non-extrapolating queries; queries clamped
+    # past a grid edge are served by 4 FIXED-index edge taps whose weights
+    # derive from frac<0 / frac>1 masks at runtime. This stops boundary
+    # extrapolation from inflating the band (Kirk axis 1: 47 -> ~22 taps).
+    edge_taps: tuple[tuple[bool, bool], ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     def block_sweep(self, v_pad: jax.Array, xs):
         """One output block's fused min/argmin sweep against ``v_pad``.
@@ -137,22 +144,53 @@ class StencilBackup:
                         jnp.where(better, a, best_a),
                         a_offset + self.chunk), None
 
+            split = bool(self.edge_taps) and any(
+                lo or hi for lo, hi in self.edge_taps)
             wstacks = []
             for k in range(d):
                 ws = {}
                 if self.weights:
                     for i, t in enumerate(self.valid_taps[k]):
                         ws[t] = weights[k][i]
+                elif split:
+                    # interior taps must not double-count extrapolating
+                    # queries (their clamped offsets can alias band values)
+                    f = fracs[k]
+                    inm = (f >= 0.0) & (f <= 1.0)
+                    for t in self.valid_taps[k]:
+                        ws[t] = jnp.where(inm & (offs[k] == t), 1.0 - f, 0.0) \
+                            + jnp.where(inm & (offs[k] == t - 1), f, 0.0)
                 else:
                     for t in self.valid_taps[k]:
                         ws[t] = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) \
                             + jnp.where(offs[k] == t - 1, fracs[k], 0.0)
                 wstacks.append(ws)
 
-            def rec(k, starts):
+            # fixed-index edge-tap weights (extrapolating queries only)
+            edge_terms = [()] * d
+            if split:
+                for k in range(d):
+                    has_lo, has_hi = self.edge_taps[k]
+                    f = fracs[k]
+                    n_k = self.grid_shape[k]
+                    p_lo = self.pad[k][0]
+                    terms_k = []
+                    if has_lo:
+                        elow = f < 0.0
+                        terms_k.append((jnp.where(elow, 1.0 - f, 0.0), p_lo))
+                        terms_k.append((jnp.where(elow, f, 0.0), p_lo + 1))
+                    if has_hi:
+                        ehigh = f > 1.0
+                        terms_k.append((jnp.where(ehigh, 1.0 - f, 0.0),
+                                        p_lo + n_k - 2))
+                        terms_k.append((jnp.where(ehigh, f, 0.0),
+                                        p_lo + n_k - 1))
+                    edge_terms[k] = tuple(terms_k)
+
+            def rec(k, starts, sizes):
                 if k == d:
-                    leaf = jax.lax.dynamic_slice(v_pad, starts,
-                                                 self.block_shape)
+                    leaf = jax.lax.dynamic_slice(v_pad, starts, tuple(sizes))
+                    leaf = jnp.broadcast_to(leaf, self.block_shape)
                     return leaf[..., None]
                 lo_t = self.taps[k][0]
                 acc = None
@@ -160,11 +198,17 @@ class StencilBackup:
                     start_k = base[k] + (t - lo_t)
                     if k == 0:
                         start_k = start_k + b_start
-                    term = wstacks[k][t] * rec(k + 1, starts + (start_k,))
+                    term = wstacks[k][t] * rec(
+                        k + 1, starts + (start_k,),
+                        sizes + (self.block_shape[k],))
+                    acc = term if acc is None else acc + term
+                for w, abs_start in edge_terms[k]:
+                    # fixed absolute index: size-1 slice, broadcast over axis k
+                    term = w * rec(k + 1, starts + (abs_start,), sizes + (1,))
                     acc = term if acc is None else acc + term
                 return acc
 
-            total = rec(0, ())
+            total = rec(0, (), ())
             for term in costs:
                 total = total + term
             for term in self.cost_static:
@@ -248,6 +292,7 @@ def build_stencil_backup(
     max_taps_per_axis: int = 64,
     weight_mode: str = "onthefly",
     rolled: bool = False,
+    edge_split: bool = False,
 ) -> StencilBackup:
     """Analyze a plan's tap geometry and build the stencil operator.
 
@@ -268,9 +313,16 @@ def build_stencil_backup(
     table instead of the unrolled shifted-slice tree — O(d x taps) HLO
     instead of O(prod taps), for high-dimensional problems whose unrolled
     tree explodes compile time/memory. Implies onthefly weights.
+
+    ``edge_split``: serve extrapolating queries (frac outside [0,1], i.e.
+    clamped past a grid edge) with FIXED edge taps so the interior band only
+    covers non-extrapolating reach — a large tap-count cut for problems
+    with heavy boundary extrapolation (Kirk). Unrolled + onthefly only.
     """
     if rolled and weight_mode != "onthefly":
         raise ValueError("rolled mode requires weight_mode='onthefly'")
+    if edge_split and (rolled or weight_mode != "onthefly"):
+        raise ValueError("edge_split requires unrolled onthefly mode")
     d = plan.ndim
     q_shape = plan.query_shape
     state_shape = q_shape[:-1]
@@ -291,6 +343,7 @@ def build_stencil_backup(
     fr_np = [np.asarray(f).astype(np.float32) for f in plan.frac]
 
     offs, bases, taps, pads, res_list = [], [], [], [], []
+    edge_flags = []
     for k in range(d):
         lo = lo_np[k]
         # cell index of the query's own source cell along axis k
@@ -314,22 +367,62 @@ def build_stencil_backup(
         else:
             off_c = np.broadcast_to(off[None], (n_chunks,) + off.shape)
         off_bc = _block_axis0(off_c, state_blocks)            # (B, C, ...)
+
+        # edge-split: band/base statistics ignore extrapolating queries
+        # (frac outside [0,1] -> lo clamped at a grid edge) — those are
+        # served by fixed edge taps instead of the banded slices.
+        if edge_split:
+            fr = fr_np[k]
+            fr_c = (np.broadcast_to(fr[None], (n_chunks,) + fr.shape)
+                    if fr.shape[-1] == 1
+                    else _chunk_axis(fr, n_chunks, action_chunk))
+            fr_bc = _block_axis0(fr_c, state_blocks)
+            off_m, fr_m = np.broadcast_arrays(off_bc, fr_bc)
+            interior = (fr_m >= 0.0) & (fr_m <= 1.0)
+            edge_flags.append((bool(np.any(fr_m < 0.0)),
+                               bool(np.any(fr_m > 1.0))))
+            off_stat = np.where(interior, off_m, 0)
+            any_int = interior.any(axis=tuple(range(2, interior.ndim))) \
+                if interior.ndim > 2 else np.array(True)
+        else:
+            off_stat = off_bc
+            interior = None
+            edge_flags.append((False, False))
+
         if off.size > 1:
             red_axes = tuple(range(2, off_bc.ndim))
-            bmin = off_bc.min(axis=red_axes)
-            bmax = off_bc.max(axis=red_axes)
+            if edge_split:
+                big = np.iinfo(np.int64).max
+                masked = np.where(interior, off_stat, big)
+                bmin = np.where(any_int, masked.min(axis=red_axes), 0)
+                masked = np.where(interior, off_stat, -big)
+                bmax = np.where(any_int, masked.max(axis=red_axes), 0)
+            else:
+                bmin = off_bc.min(axis=red_axes)
+                bmax = off_bc.max(axis=red_axes)
             base_k = ((bmin + bmax) // 2).astype(np.int64)    # (B, C)
             res = off_bc - base_k.reshape(base_k.shape + (1,) * (off_bc.ndim - 2))
         else:
             base_k = np.zeros((state_blocks, n_chunks), np.int64)
             res = np.broadcast_to(off_bc, (state_blocks, n_chunks) + off.shape)
-        t_lo, t_hi = int(res.min()), int(res.max())
+
+        if edge_split and interior is not None:
+            res_m = np.broadcast_to(res, interior.shape)
+            if interior.any():
+                t_lo = int(res_m[interior].min())
+                t_hi = int(res_m[interior].max())
+            else:
+                t_lo = t_hi = 0
+            glob_min = int(min((base_k + t_lo).min(), 0))
+            glob_max = int(max((base_k + t_hi).max(), 0))
+        else:
+            t_lo, t_hi = int(res.min()), int(res.max())
+            glob_min = int(off_c.min())
+            glob_max = int(off_c.max())
         if t_hi - t_lo + 2 > max_taps_per_axis:
             raise ValueError(
                 f"axis {k}: {t_hi - t_lo + 2} taps exceed max_taps_per_axis="
                 f"{max_taps_per_axis}; shrink action_chunk or use the gather backup")
-        glob_min = int(off_c.min())
-        glob_max = int(off_c.max())
         pads.append((-min(glob_min, 0), max(glob_max, 0) + 1))
         taps.append((t_lo, t_hi))
         res_list.append(res)
@@ -353,11 +446,17 @@ def build_stencil_backup(
         # prune taps with identically-zero weight: tap t is live iff some
         # query has (off == t, weight 1-frac != 0) or (off == t-1, frac != 0)
         res, fb = np.broadcast_arrays(res_list[k], f_ch)
+        if edge_split:
+            # extrapolating queries are served by edge taps, so only
+            # interior queries keep banded taps alive
+            ok = (fb >= 0.0) & (fb <= 1.0)
+        else:
+            ok = np.ones_like(fb, dtype=bool)
         t_lo, t_hi = taps[k]
         live = []
         for t in range(t_lo, t_hi + 2):
-            if np.any((res == t) & (1.0 - fb != 0.0)) or \
-               np.any((res == t - 1) & (fb != 0.0)):
+            if np.any(ok & (res == t) & (1.0 - fb != 0.0)) or \
+               np.any(ok & (res == t - 1) & (fb != 0.0)):
                 live.append(t)
         valid_taps.append(tuple(live))
 
@@ -432,4 +531,5 @@ def build_stencil_backup(
         rolled=rolled,
         strides=tuple(strides),
         flat_pad=flat_pad,
+        edge_taps=tuple(edge_flags) if edge_split else (),
     )

@@ -79,6 +79,9 @@ def value_iteration_finite_halo(
     n_dev = mesh.shape[axis_name]
     sb = build_stencil_backup(plan, stage_cost, action_chunk=action_chunk,
                               state_blocks=n_dev, weight_mode=weight_mode)
+    if sb.edge_taps and (sb.edge_taps[0][0] or sb.edge_taps[0][1]):
+        raise ValueError("axis-0 edge taps need global edge rows; "
+                         "edge_split is not supported by the halo engine")
     lo0, hi0 = sb.pad[0]
     block0 = sb.block_shape[0]
     if max(lo0, hi0) > block0:

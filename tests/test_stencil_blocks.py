@@ -66,3 +66,23 @@ def test_rolled_6d_matches_unrolled():
     np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
                                rtol=3e-6, atol=3e-6)
     assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.99
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_edge_split_matches_gather(blocks):
+    """Clamp-split: extrapolating queries served by fixed edge taps."""
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    v = jnp.asarray(np.random.default_rng(4).normal(size=(20, 20)), jnp.float32)
+    ref = bellman_backup(v, problem.plan, problem.stage_cost)
+    sb = build_stencil_backup(problem.plan, problem.stage_cost,
+                              action_chunk=10, state_blocks=blocks,
+                              edge_split=True)
+    assert any(lo or hi for lo, hi in sb.edge_taps)
+    # the interior band must be strictly narrower than the unsplit band
+    sb0 = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, state_blocks=blocks)
+    assert sum(len(t) for t in sb.valid_taps) < sum(len(t) for t in sb0.valid_taps)
+    got = sb(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=3e-6, atol=3e-6)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.998
