@@ -25,6 +25,7 @@ from .ops.interp import (
     nearest_eval,
 )
 from .ops.stencil import StencilBackup, build_stencil_backup
+from .engine import value_iteration_segmented
 
 __version__ = "0.1.0"
 

@@ -28,12 +28,14 @@ Two solvers, as in the reference:
   The 3-axis chained argmin (:400-409) is one flat first-min argmin here
   (C-order equivalence, see ops/backup.py).
 
-  Known envelope (this round): the stencil path solves reference-feasible
-  6-D meshes (11^3 x 7^3 tested) on CPU and small meshes on TPU; at
-  ~10^6-cell meshes the 729-leaf stencil tree currently overwhelms the TPU
-  toolchain through the remote-compile tunnel (worker crashes / very long
-  compiles) — the planned fix is a dedicated Pallas backup kernel with
-  on-chip tiling replacing the XLA-fused tree.
+  Known envelope (measured, this round): the unrolled stencil solves 6-D
+  meshes up to 11^3 x 7^3 (456k cells, 1999 sweeps in ~4 min incl. compile)
+  on one v5e — comparable to the reference's historically-feasible scale
+  (.asv: 11^3 x 10^3). At ~10^6 cells the TPU worker crashes regardless of
+  state blocking (suspected executable/constant-size or Mosaic-level
+  fault through the remote-compile tunnel); CPU handles those sizes. The
+  planned fix is a dedicated Pallas backup kernel replacing the XLA-fused
+  tree (see NOTES.md).
 """
 
 from __future__ import annotations

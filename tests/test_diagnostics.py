@@ -50,3 +50,14 @@ def test_viz_smoke(tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_cli_solve_and_rollout_smoke(capsys):
+    import json
+
+    from ocdp_tpu.__main__ import main
+
+    main(["rollout", "kirk", "--impl", "gather"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["problem"] == "kirk"
+    assert abs(out["x_final"][0]) < 0.1 and abs(out["x_final"][1]) < 0.1
