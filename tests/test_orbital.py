@@ -64,3 +64,37 @@ def test_half_period_is_apogee():
     R, V = propagate_kepler(np.asarray(R0), np.asarray(V0), period / 2)
     r = np.linalg.norm(np.asarray(R))
     assert np.isclose(r, a * (1 + 0.1), rtol=1e-3)
+
+
+def test_quaternion_roundtrips_and_frames():
+    import jax.numpy as jnp
+
+    from ocdp_tpu.utils.frames import body_to_rsw, rsw_to_body, rsw_to_eci_matrix
+    from ocdp_tpu.utils.quaternions import (
+        euler_zyx_to_quat,
+        quat_to_dcm,
+        quat_to_euler_zyx,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        y, p, r = rng.uniform(-0.5, 0.5, 3)
+        q = euler_zyx_to_quat(jnp.asarray(y), jnp.asarray(p), jnp.asarray(r))
+        y2, p2, r2 = quat_to_euler_zyx(q)
+        np.testing.assert_allclose([y, p, r],
+                                   [float(y2), float(p2), float(r2)], atol=1e-6)
+        # DCM orthonormality
+        M = np.asarray(quat_to_dcm(q), np.float64)
+        np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.linalg.det(M), 1.0, atol=1e-6)
+
+    # frames: rsw<->body are inverse transforms
+    R0, V0 = target_orbit_R0V0()
+    q = euler_zyx_to_quat(jnp.asarray(0.1), jnp.asarray(-0.2), jnp.asarray(0.3))
+    v = jnp.asarray(np.array([0.3, -1.2, 0.7], np.float32))
+    vb = rsw_to_body(v, q, R0, V0)
+    v2 = body_to_rsw(vb, q, R0, V0)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-5)
+    # RSW matrix orthonormal
+    M = np.asarray(rsw_to_eci_matrix(jnp.asarray(R0), jnp.asarray(V0)), np.float64)
+    np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-6)
