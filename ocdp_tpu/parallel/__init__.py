@@ -7,6 +7,7 @@ collectives over ICI.
 """
 
 from .halo import value_iteration_finite_halo
+from .multihost import initialize_distributed, make_mesh
 from .sharded import (
     ShardedPlan,
     shard_backup_inputs,
@@ -20,4 +21,6 @@ __all__ = [
     "sharded_bellman_sweeps",
     "value_iteration_finite_sharded",
     "value_iteration_finite_halo",
+    "initialize_distributed",
+    "make_mesh",
 ]

@@ -69,3 +69,25 @@ def test_action_tie_break_across_shards():
         plan, cost, 3, mesh2, action_axis_name="a", store_policies=False
     )
     assert np.all(np.asarray(got.argmin) == 0)
+
+
+def test_make_mesh_and_halo_engine_compose():
+    from ocdp_tpu.parallel import make_mesh, value_iteration_finite_halo
+    from ocdp_tpu import value_iteration_finite
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    mesh = make_mesh(("s",), devices=jax.devices()[:8])
+    assert mesh.shape["s"] == 8
+    problem = small_problem(dx=24, du=10)
+    sb = build_stencil_backup(problem.plan, problem.stage_cost, action_chunk=10)
+    ref = value_iteration_finite(problem.plan, problem.stage_cost, 5, backup=sb)
+    got = value_iteration_finite_halo(problem.plan, problem.stage_cost, 5,
+                                      mesh, action_chunk=10)
+    np.testing.assert_array_equal(np.asarray(got.values), np.asarray(ref.values))
+
+
+def test_make_mesh_2d():
+    from ocdp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(("s", "a"), (4, 2), devices=jax.devices()[:8])
+    assert mesh.shape == {"s": 4, "a": 2}
