@@ -60,6 +60,7 @@ __all__ = [
     "solve_simplified",
     "solve_full",
     "rollout_full",
+    "rollout_simplified_plant",
     "rollout_simplified_real_dynamics",
     "linear_control_response",
 ]
@@ -402,6 +403,48 @@ def rollout_full(
     X_fin, (X, U, ang) = jax.lax.scan(step, X0, None, length=n - 1)
     X = jnp.concatenate([X, X_fin[None]], axis=0)
     return X, U, ang
+
+
+def rollout_simplified_plant(
+    sol: SimplifiedSolution,
+    x0=None,
+    *,
+    num_stages: Optional[int] = None,
+):
+    """Policy-on-SIMPLIFIED-plant rollout: 3 decoupled (omega_i, theta_i)
+    double integrators stepped with the training dynamics — the first half
+    of the reference's train-on-simplified/validate-on-real check
+    (attitude-control/test/test_simplified.m:121-264).
+
+    ``x0``: (3, 2) array of per-axis (omega, theta) initial states (defaults
+    to the angles of the standard X0 with zero rates). Returns (X, U) with
+    X (N, 3, 2) and U (N-1, 3).
+    """
+    cfg = sol.config
+    n = (num_stages or cfg.n_stage)
+    c_h = _quirk(cfg.h, cfg.rk4_t_parity)
+    if x0 is None:
+        q = AttitudeConfig.default_x0()[3:7]
+        theta = 2.0 * jnp.arcsin(jnp.clip(q[:3], -1.0, 1.0))
+        x0 = jnp.stack([jnp.zeros(3), theta], axis=1)
+    tables = sol.u_tables
+    axes = sol.axes
+    J = jnp.asarray(cfg.inertia_diag)
+
+    def step(X, _):
+        U = jnp.stack([
+            nearest_eval(tables[i], axes[i], (X[i, 0], X[i, 1]))
+            for i in range(3)
+        ])
+        w_next = X[:, 0] + cfg.h * U / J
+        t_next = X[:, 1] + cfg.h * X[:, 0] * c_h
+        X_next = jnp.stack([w_next, t_next], axis=1)
+        return X_next, (X, U)
+
+    X0 = jnp.asarray(x0, jnp.float32)
+    X_fin, (X, U) = jax.lax.scan(step, X0, None, length=n - 1)
+    X = jnp.concatenate([X, X_fin[None]], axis=0)
+    return X, U
 
 
 def rollout_simplified_real_dynamics(

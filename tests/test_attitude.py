@@ -120,3 +120,16 @@ def test_linear_control_response_baseline():
     assert float(drift) < 1e-5
     assert np.linalg.norm(X[-1, 3:6]) < 0.05 * np.linalg.norm(X[0, 3:6])
     assert np.linalg.norm(X[-1, 0:3]) < 1e-2
+
+
+def test_rollout_simplified_plant_tracks_training_dynamics():
+    cfg = small_cfg(n_mesh_w=31, n_mesh_t=31, T_final=30.0)
+    sol = attitude.solve_simplified(cfg, num_sweeps=800)
+    X, U = attitude.rollout_simplified_plant(sol, num_stages=2000)
+    X = np.asarray(X)
+    assert X.shape[1:] == (3, 2)
+    assert np.all(np.isfinite(X))
+    # angles shrink on the plant the policy was trained on
+    assert np.all(np.abs(X[-1, :, 1]) < 0.5 * np.maximum(np.abs(X[0, :, 1]), 0.05))
+    assert np.isin(np.round(np.abs(np.asarray(U)).astype(np.float64), 4),
+                   [0.0, 0.11]).all()
