@@ -14,7 +14,7 @@ Probe capture itself lives in the engine (``probe_window=`` argument of
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 

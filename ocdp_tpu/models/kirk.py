@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import numpy as np
 
 from ..engine import SolveResult, value_iteration_finite
 from ..grids import Grid, linspace_axis
-from ..ops.backup import bellman_backup
 from ..ops.interp import InterpPlan, build_plan, interp_eval
 from ..ops.stencil import build_stencil_backup
 

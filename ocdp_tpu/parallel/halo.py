@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine import SolveResult
 from ..ops.interp import InterpPlan
-from ..ops.stencil import StencilBackup, build_stencil_backup
+from ..ops.stencil import build_stencil_backup
 
 __all__ = ["value_iteration_finite_halo"]
 
