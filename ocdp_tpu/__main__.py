@@ -25,7 +25,8 @@ def _add_common(p):
                                        "attitude-full", "pos-att"])
     p.add_argument("--sweeps", type=int, default=None,
                    help="override number of sweeps")
-    p.add_argument("--impl", default="stencil", choices=["stencil", "gather"])
+    p.add_argument("--impl", default="stencil",
+                   choices=["stencil", "gather", "pallas"])
 
 
 def cmd_solve(args):
@@ -89,6 +90,18 @@ def cmd_rollout(args):
             from . import viz
 
             viz.plot_rollout(T, X, U, path=f"{args.plot}/position_rollout.png")
+    elif args.problem == "attitude":
+        # train-on-simplified / validate-on-real (Solver_attitude
+        # get_optimal_path_simplified_testode45, :835-925)
+        from .models import attitude
+
+        sol = attitude.solve_simplified(attitude.AttitudeConfig(),
+                                        num_sweeps=args.sweeps,
+                                        impl=args.impl)
+        X, U = attitude.rollout_simplified_real_dynamics(sol)
+        theta = 2.0 * np.arcsin(np.clip(np.asarray(X)[-1, 3:6], -1, 1))
+        out = {"angles_final_deg": (theta * 180 / np.pi).tolist(),
+               "w_final": np.asarray(X)[-1, :3].tolist()}
     elif args.problem == "attitude-full":
         from .models import attitude
 

@@ -53,7 +53,7 @@ from ..grids import Grid, linspace_axis
 from ..ops.interp import build_plan, interp_eval, nearest_eval
 from ..ops.stencil import build_stencil_backup
 from ..utils.integrators import rk4_step, rkf45_integrate
-from ..utils.quaternions import euler_zyx_to_quat, quat_to_euler_zyx
+from ..utils.quaternions import quat_to_euler_zyx
 
 __all__ = [
     "AttitudeConfig",
@@ -147,9 +147,11 @@ class AttitudeConfig:
     @staticmethod
     def default_x0() -> jnp.ndarray:
         """[w; kirk-q] with q = angle2quat(5, 10, -9 deg) (:160-163)."""
-        q = euler_zyx_to_quat(jnp.asarray(5 * _DEG), jnp.asarray(10 * _DEG),
-                              jnp.asarray(-9 * _DEG))
-        kirk = jnp.stack([q[2], q[1], q[0], q[3]])
+        from ..utils.quaternions import kirk_quat_from_euler
+
+        kirk = kirk_quat_from_euler(jnp.asarray(5 * _DEG),
+                                    jnp.asarray(10 * _DEG),
+                                    jnp.asarray(-9 * _DEG))
         return jnp.concatenate([jnp.zeros(3), kirk]).astype(jnp.float32)
 
 

@@ -245,7 +245,17 @@ def solve(
 
 
 def default_x0(pitch_deg: float = 3.0):
-    """X0 = [dr; dv; q; w] with dr=[-0.1,0,0] km, 3 deg pitch (:458-466)."""
+    """X0 = [dr; dv; q; w] with dr=[-0.1,0,0] km, 3 deg pitch (:458-466).
+
+    This package's 13-state plant stores the quaternion TRUE scalar-last
+    [x y z w] (utils/quaternions.py — its kinematics/DCM are the standard
+    scalar-last forms); the reference stores the kirk reversal [z y x w]
+    (Solver_pos_att.m:462-463). For the pitch-only default the two orders
+    coincide. A general initial attitude must be built with
+    ``euler_zyx_to_quat`` (physically-correct scalar-last) — NOT by copying
+    reference-ordered components; permute a reference x0's q via
+    ``[q3 q2 q1 q4]`` first.
+    """
     from ..utils.quaternions import euler_zyx_to_quat
 
     q0 = euler_zyx_to_quat(jnp.asarray(0.0), jnp.deg2rad(pitch_deg),

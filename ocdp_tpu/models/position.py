@@ -145,9 +145,10 @@ def solve(
     if impl == "stencil":
         backup = build_stencil_backup(problem.plan, problem.stage_cost)
     elif impl != "gather":
-        # note: the Pallas kernel is 2-D only; position batches channels as a
-        # 3rd grid axis, so it stays on the XLA stencil path
-        raise ValueError(f"unknown impl {impl!r}")
+        # note: the 2-D Pallas kernel doesn't apply here; position batches
+        # channels as a 3rd grid axis, so it stays on the XLA stencil path
+        raise ValueError(
+            f"unknown impl {impl!r} (position supports 'stencil'/'gather')")
 
     @partial(jax.jit, static_argnames=("n",))
     def _solve(plan, cost, n):

@@ -44,16 +44,18 @@ _C5 = np.array([16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55])
 def rkf45_integrate(f, t0, t1, y0, *, tol=1e-8, max_steps=10_000):
     """Adaptive RKF4(5) from ``t0`` to ``t1``; returns ``y(t1)``.
 
-    Step-control law matches the reference (rkf45.m:88-110): truncation error
-    per step ``te = h*(C4-C5)·k`` compared against ``tol*max(|y|, 1)``, step
-    scaled by ``0.8*(te_allowed/te_max)^(1/5)``, rejected steps retried.
-    Runs entirely on device as a ``lax.while_loop``.
+    Step-control law matches the reference (rkf45.m:73-113): initial step
+    ``(t1-t0)/100``; truncation error per step ``te = h*(C4-C5)·k`` compared
+    against ``tol*max(|y|, 1)``; accepted steps advance with the 5th-order
+    combination ``y + h*C5·k``; step scaled by
+    ``h_new = h*min((te_allowed/te_max)^(1/5), 4)`` with no extra safety
+    factor. Runs entirely on device as a ``lax.while_loop``.
     """
     dtype = jnp.result_type(y0)
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
     y0 = jnp.asarray(y0, dtype)
-    h0 = t1 - t0  # initial step = whole interval (reference: (tf-t0)/100 min 1 step)
+    h0 = (t1 - t0) / 100.0  # reference: "Assumed initial time step" rkf45.m:73
 
     def body(carry):
         t, y, h, steps = carry
@@ -68,7 +70,7 @@ def rkf45_integrate(f, t0, t1, y0, *, tol=1e-8, max_steps=10_000):
             ks.append(f(t + _A[i] * h, yi))
         k = jnp.stack(ks)
         te = h * jnp.tensordot(jnp.asarray(_C4 - _C5, dtype), k, axes=1)
-        y4 = y + h * jnp.tensordot(jnp.asarray(_C4, dtype), k, axes=1)
+        y5 = y + h * jnp.tensordot(jnp.asarray(_C5, dtype), k, axes=1)
 
         ymax = jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
         te_allowed = tol * ymax
@@ -77,8 +79,8 @@ def rkf45_integrate(f, t0, t1, y0, *, tol=1e-8, max_steps=10_000):
 
         accept = te_max <= te_allowed
         t_new = jnp.where(accept, t + h, t)
-        y_new = jax.tree.map(lambda a, b: jnp.where(accept, a, b), y4, y)
-        h_new = h * jnp.minimum(0.8 * delta, 4.0)
+        y_new = jax.tree.map(lambda a, b: jnp.where(accept, a, b), y5, y)
+        h_new = h * jnp.minimum(delta, 4.0)
         return t_new, y_new, h_new, steps + 1
 
     def cond(carry):

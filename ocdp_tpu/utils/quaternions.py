@@ -55,11 +55,17 @@ def quat_kinematics(q, w):
 
 
 def euler_zyx_to_quat(yaw, pitch, roll):
-    """ZYX (yaw-pitch-roll) Euler angles -> scalar-last quaternion.
+    """ZYX (yaw-pitch-roll) Euler angles -> TRUE scalar-last quaternion
+    [x y z w] (same rotation as MATLAB ``angle2quat(yaw, pitch, roll)``,
+    which is scalar-FIRST [w x y z]).
 
-    Equivalent to ``angle2quat(yaw, pitch, roll)`` (MATLAB default 'ZYX')
-    followed by the reference's component reversal
-    (Solver_pos_att.m:462-463): returns [x y z w].
+    NOTE: this is *not* the reference's stored component order. The
+    reference reverses angle2quat's output (``q0(end:-1:1)``,
+    Solver_pos_att.m:462-463), and reversing [w x y z] yields [z y x w] —
+    the "kirk" order of Solver_attitude.m:322-340. Use
+    :func:`kirk_quat_from_euler` to build reference-ordered components;
+    the two orders coincide only for pitch-only rotations (yaw=roll=0),
+    e.g. the reference's default pos-att x0.
     """
     cy, sy = jnp.cos(yaw / 2), jnp.sin(yaw / 2)
     cp, sp = jnp.cos(pitch / 2), jnp.sin(pitch / 2)
@@ -69,6 +75,18 @@ def euler_zyx_to_quat(yaw, pitch, roll):
     y = cy * sp * cr + sy * cp * sr
     z = sy * cp * cr - cy * sp * sr
     return jnp.stack([x, y, z, w])
+
+
+def kirk_quat_from_euler(yaw, pitch, roll):
+    """ZYX Euler angles -> quaternion in the REFERENCE's component order.
+
+    The kirk order [z y x w] produced by the reference's
+    ``angle2quat(...); q0(end:-1:1)`` idiom (Solver_pos_att.m:462-463) and
+    documented at Solver_attitude.m:322-340: kirk q1 = z, q2 = y, q3 = x,
+    q4 = w in terms of the true scalar-last components.
+    """
+    q = euler_zyx_to_quat(yaw, pitch, roll)
+    return jnp.stack([q[2], q[1], q[0], q[3]])
 
 
 def quat_to_euler_zyx(q):
