@@ -45,6 +45,10 @@ class SolveResult(NamedTuple):
     num_sweeps: jax.Array        # actual sweeps performed (scalar int32)
     converged: jax.Array         # bool scalar (always False for finite driver)
     probes: Optional[jax.Array] = None  # (num_sweeps, *window) V probes or None
+    # converged-engine check log, (n_checks, 3): [k_s, errorF, errorU] per
+    # convergence check (the reference's per-50-stage print,
+    # Solver_pos_att.m:272-279); rows past the stop point hold zeros
+    checks: Optional[jax.Array] = None
 
 
 def policy_dtype_for(n_actions: int):
@@ -141,13 +145,20 @@ def value_iteration_converged(
     tol: float = 1e-2,
     init_values: Optional[jax.Array] = None,
     backup=None,
+    on_check=None,
 ) -> SolveResult:
     """Value iteration with the reference's periodic-checksum early stop.
 
     Mirrors pos-att/Solver_pos_att.m:268-286: iterate ``k_s`` from
     ``max_sweeps`` down to 1; whenever ``k_s % check_every == 0`` (after the
-    sweep at that ``k_s``), compare ``sum(V)`` with the previous checkpoint
-    and stop when ``|Δ| < tol``.
+    sweep at that ``k_s``), compare ``errorF = Σ V - Σ V_prev_check`` and
+    stop when ``|errorF| < tol``. Each check also records
+    ``errorU = Σ argmin_ids - Σ argmin_ids_prev_check`` (the reference's
+    second diagnostic, :275-278); both land in ``SolveResult.checks`` as
+    rows ``[k_s, errorF, errorU]`` and — when ``on_check`` is given — are
+    streamed to the host per check via ``jax.debug.callback`` with signature
+    ``on_check(k_s, errorF, errorU)`` (the reference's
+    'stage %d ... errorF %f - errorU %f' print).
     """
     state_shape = plan.query_shape[:-1]
     if init_values is None:
@@ -158,34 +169,54 @@ def value_iteration_converged(
     if backup is None:
         backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
 
+    n_checks = max(max_sweeps // check_every, 1)
+
     def cond(carry):
-        _, _, k_s, _, converged = carry
+        k_s, converged = carry[2], carry[4]
         return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
 
     def body(carry):
-        v, _, k_s, fsum_prev, _ = carry
+        v, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
         res = backup(v)
         do_check = (k_s % check_every) == 0
         fsum = jnp.sum(res.values, dtype=jnp.float32)
-        err = fsum - fsum_prev
-        converged = jnp.logical_and(do_check, jnp.abs(err) < tol)
+        usum = jnp.sum(res.argmin, dtype=jnp.float32)
+        err_f = fsum - fsum_prev
+        err_u = usum - usum_prev
+        converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+
+        def record(args):
+            checks, c_idx = args
+            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+            if on_check is not None:
+                jax.debug.callback(on_check, k_s, err_f, err_u)
+            return checks.at[c_idx].set(row), c_idx + 1
+
+        checks, c_idx = jax.lax.cond(do_check, record,
+                                     lambda args: args, (checks, c_idx))
         fsum_prev = jnp.where(do_check, fsum, fsum_prev)
-        return (res.values, res.argmin, k_s - 1, fsum_prev, converged)
+        usum_prev = jnp.where(do_check, usum, usum_prev)
+        return (res.values, res.argmin, k_s - 1, (fsum_prev, usum_prev),
+                converged, checks, c_idx)
 
     init = (
         v,
         jnp.zeros(state_shape, jnp.int32),
         jnp.asarray(max_sweeps, jnp.int32),
-        jnp.asarray(0.0, jnp.float32),
+        (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
         jnp.asarray(False),
+        jnp.zeros((n_checks, 3), jnp.float32),
+        jnp.asarray(0, jnp.int32),
     )
-    values, argmin, k_s, _, converged = jax.lax.while_loop(cond, body, init)
+    values, argmin, k_s, _, converged, checks, _ = jax.lax.while_loop(
+        cond, body, init)
     return SolveResult(
         values=values,
         argmin=argmin,
         policies=None,
         num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
         converged=converged,
+        checks=checks,
     )
 
 

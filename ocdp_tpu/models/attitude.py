@@ -80,7 +80,8 @@ def _jit_solve(plan, cost, backup, n):
       of the executable avoids blowing the remote-compile payload limit on
       big grids.
     """
-    if backup is not None and getattr(backup, "weights", ()):
+    if backup is not None and (getattr(backup, "weights", ())
+                               or getattr(backup, "traced_argument", False)):
         @partial(jax.jit, static_argnames=("n",))
         def go_arg(plan, cost, backup, n):
             return value_iteration_finite(plan, cost, n, store_policies=False,
@@ -231,7 +232,18 @@ class FullSolution(NamedTuple):
 
 
 def build_full(cfg: AttitudeConfig):
-    """6-D grid, taylor-estimate next states, quaternion cost (:261-506)."""
+    """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
+
+    All precompute runs pinned to the host CPU backend: these are dozens of
+    tiny broadcast ops, and dispatching each through the TPU tunnel costs
+    ~1s/op (measured: 63s of build time for a 5^3x4^3 grid on axon). The
+    solve transfers the finished plan/cost to the chip in one hop.
+    """
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return _build_full_host(cfg)
+
+
+def _build_full_host(cfg: AttitudeConfig):
     s_w = linspace_axis(cfg.w_min_deg * _DEG, cfg.w_max_deg * _DEG, cfg.n_mesh_w)
     (y_lo, y_hi), (p_lo, p_hi), (r_lo, r_hi) = cfg.euler_ranges
     s_yaw = linspace_axis(y_lo, y_hi, cfg.n_mesh_q)
@@ -330,6 +342,12 @@ def solve_full(
         backup = build_stencil_backup(plan, cost, action_chunk=action_chunk,
                                       state_blocks=state_blocks,
                                       weight_mode=weight_mode)
+    elif impl == "pallas":
+        # the 6-D fused kernel (ops/pallas_backup6.py): the only path that
+        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip
+        from ..ops.pallas_backup6 import build_pallas_backup_6d
+
+        backup = build_pallas_backup_6d(plan, cost)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

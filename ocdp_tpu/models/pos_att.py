@@ -40,7 +40,7 @@ from ..dynamics.relmotion import cw_relative_rates
 from ..engine import SolveResult, value_iteration_converged
 from ..grids import Grid, sym_linspace_exact
 from ..io import ChannelController
-from ..ops.interp import build_plan
+from ..ops.interp import InterpPlan, build_plan, interp_apply
 from ..ops.stencil import build_stencil_backup
 from ..utils.frames import body_to_rsw, rsw_to_body
 from ..utils.integrators import rkf45_integrate
@@ -57,6 +57,7 @@ __all__ = [
     "build_channel",
     "solve_channel",
     "solve",
+    "solve_ep",
     "PosAttSolution",
     "get_optimal_path",
 ]
@@ -241,6 +242,148 @@ def solve(
         for name, ctrl in controllers.items():
             save_channel_controller(
                 os.path.join(save_dir, f"channel_{name}_controller_1.npz"), ctrl)
+    return PosAttSolution(cfg, controllers)
+
+
+def solve_ep(
+    cfg: PosAttConfig = PosAttConfig(),
+    mesh=None,
+    *,
+    include_failure: bool = True,
+    axis_name: str = "c",
+    max_sweeps: Optional[int] = None,
+) -> PosAttSolution:
+    """All channels solved in ONE mesh dispatch — channel-level expert
+    parallelism (SURVEY.md §2.5 EP row).
+
+    The reference runs its four channel solves serially
+    (Solver_pos_att.m:217-240); here each mesh device owns one channel:
+    the value tables are stacked (C, nx, nv, nt, nw) and sharded on the
+    channel axis, plans/costs stacked alongside (the x-failure channel's
+    6-combo action set is padded to 9 with +inf stage cost so padded combos
+    never win). Each channel keeps ITS OWN early-stop decision
+    (:268-286): a converged channel freezes (no further updates — its table
+    is exactly what the serial solve stops with) while the lockstep loop
+    runs until every channel's flag is set (one scalar ``psum`` per sweep).
+    Results are bitwise equal to the serial :func:`solve_channel` runs.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if mesh is None:
+        n_dev = 4 if include_failure else 3
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), (axis_name,))
+    problems = [build_channel(cfg, ch) for ch in CHANNELS]
+    names = list(CHANNELS)
+    if include_failure:
+        problems.append(build_channel(cfg, "x", failure=True))
+        names.append("x_failure")
+    n_ch = len(problems)
+    if mesh.shape[axis_name] != n_ch:
+        raise ValueError(
+            f"mesh axis {axis_name!r} has {mesh.shape[axis_name]} devices "
+            f"but {n_ch} channels")
+    sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
+    state_shape = problems[0].plan.query_shape[:-1]
+    n_act = max(p.plan.query_shape[-1] for p in problems)
+    n_checks = max(sweeps // cfg.check_every, 1)
+
+    # stack plans/costs with a leading channel axis; pad action axes by
+    # edge-repeating queries and +inf-ing the cost (argmin can't pick them)
+    def stack(arrs, pad_mode):
+        full = []
+        for a in arrs:
+            a = np.asarray(a)
+            if a.shape[-1] == 1:
+                a = np.broadcast_to(a, a.shape[:-1] + (1,))
+            elif a.shape[-1] != n_act:
+                pad = [(0, 0)] * a.ndim
+                pad[-1] = (0, n_act - a.shape[-1])
+                a = (np.pad(a, pad, mode="edge") if pad_mode == "edge"
+                     else np.pad(a, pad, constant_values=np.inf))
+            full.append(a)
+        shp = np.broadcast_shapes(*(a.shape for a in full))
+        return jnp.asarray(np.stack([np.broadcast_to(a, shp) for a in full]))
+
+    k_axes = len(state_shape)
+    los = [stack([p.plan.lo[k] for p in problems], "edge")
+           for k in range(k_axes)]
+    frs = [stack([p.plan.frac[k] for p in problems], "edge")
+           for k in range(k_axes)]
+    costs = stack([p.stage_cost for p in problems], "inf")
+
+    def spec(a):
+        return P(*([axis_name] + [None] * (a.ndim - 1)))
+
+    def run(v0, *flat):
+        los_l = flat[:k_axes]
+        frs_l = flat[k_axes:2 * k_axes]
+        cost = flat[2 * k_axes][0]
+        plan_l = InterpPlan(tuple(x[0] for x in los_l),
+                            tuple(x[0] for x in frs_l), state_shape)
+
+        def cond(carry):
+            return jnp.logical_not(carry[4])
+
+        def body(carry):
+            v, args_prev, k_s, (fsum_prev, usum_prev), _, frozen, \
+                checks, c_idx = carry
+            total = interp_apply(v, plan_l) + cost
+            total = jnp.broadcast_to(total, state_shape + (n_act,))
+            vals = jnp.min(total, axis=-1)
+            args = jnp.argmin(total, axis=-1).astype(jnp.int32)
+            # converged channels freeze at their stopping table
+            vals = jnp.where(frozen, v, vals)
+            args = jnp.where(frozen, args_prev, args)
+            do_check = jnp.logical_and((k_s % cfg.check_every) == 0,
+                                       jnp.logical_not(frozen))
+            fsum = jnp.sum(vals, dtype=jnp.float32)
+            usum = jnp.sum(args, dtype=jnp.float32)
+            err_f = fsum - fsum_prev
+            err_u = usum - usum_prev
+            newly = jnp.logical_and(do_check, jnp.abs(err_f) < cfg.tol)
+            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
+            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+            usum_prev = jnp.where(do_check, usum, usum_prev)
+            frozen = jnp.logical_or(frozen, newly)
+            frozen = jnp.logical_or(frozen, k_s <= 1)
+            all_done = jax.lax.psum(
+                jnp.logical_not(frozen).astype(jnp.int32), axis_name) == 0
+            return (vals, args, k_s - 1, (fsum_prev, usum_prev), all_done,
+                    frozen, checks, c_idx)
+
+        init = (
+            v0[0],
+            jnp.zeros(state_shape, jnp.int32),
+            jnp.asarray(sweeps, jnp.int32),
+            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            jnp.zeros((n_checks, 3), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        v_fin, args, k_s, _, _, frozen, checks, _ = jax.lax.while_loop(
+            cond, body, init)
+        return (v_fin[None], args[None], k_s[None], frozen[None],
+                checks[None])
+
+    v0 = jnp.zeros((n_ch,) + state_shape, jnp.float32)
+    in_specs = (spec(v0),) + tuple(spec(a) for a in los + frs) + (spec(costs),)
+    out_specs = (P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+                 P(axis_name))
+    fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    vals, args, k_s, frozen, checks = jax.jit(fn)(v0, *los, *frs, costs)
+
+    controllers = {}
+    for i, name in enumerate(names):
+        controllers[name] = ChannelController(
+            axes=tuple(problems[i].grid.axes),
+            values=np.asarray(vals[i]),
+            argmin=np.asarray(args[i]),
+            forces=problems[i].forces,
+        )
     return PosAttSolution(cfg, controllers)
 
 

@@ -1,0 +1,507 @@
+"""Pallas TPU kernel: fused Bellman backup for the 6-D attitude grid.
+
+The full-attitude solve (attitude-control/Solver_attitude.m:261-300) is the
+workload the XLA stencil cannot compile at scale: its unrolled tap tree is
+O(prod per-axis taps) HLO (~4^6 dynamic-slice leaves) and crashes the TPU
+worker near 1e6 cells, while the rolled variant hits pathological Mosaic/XLA
+compile times (NOTES.md, round 1). This kernel replaces the whole backup —
+6-D multilinear interpolation of J_{k+1} at every (state, action) query,
+fused stage-cost add, fused min/argmin over the 27 torque combos with MATLAB
+first-minimum tie-breaking (Solver_attitude.m:384-411) — with one Pallas
+program whose size is O(row taps + lane taps), independent of dimensionality.
+
+Layout (the crux): flatten the state grid to 2-D
+    rows  = the omega cells   (n0*n1*n2),
+    lanes = the Euler cells   (n3*n4*n5, padded to 128),
+so the value table is a (NW, NE) VMEM-resident matrix. The attitude
+dynamics factorize over exactly this split (build_full, models/attitude.py):
+
+* omega' depends only on (omega, u)      -> per-(row, action) queries; a
+  next-state row lands a *bounded* number of flat rows away (drift
+  h*max|wdot| vs cell size), so the 8 omega-corner reads are a small static
+  set of ROW shifts realized as aligned-window sublane rolls;
+* euler' depends only on (omega, euler)  -> per-(row, lane) queries,
+  action-INDEPENDENT; the 8 Euler-corner reads are a small static set of
+  flat LANE shifts (pltpu.roll along lanes), shared by all 27 actions.
+
+Per row-tile the kernel computes, for each live flat row-offset D,
+    A_D[r, c] = sum_{lane taps e} W_e(r, c) * roll(V[rows + D], e)[r, c]
+(the Euler interpolation, reused by every action), then for each action a
+    tot_a = sum_D Ww_{a,D}(r) * A_D + cost_u[a]
+with per-row scalar weights, and chains strict-< min/argmin over the flat
+C-order action index (= the reference's chained 3-axis argmin,
+Solver_attitude.m:400-409; equivalence proven in ops/backup.py). Reads that
+a roll wraps past a row boundary belong to taps whose multilinear weight is
+identically zero there (corner reads with weight point at lo/lo+1, always
+in-bounds per axis), so they contribute exactly 0 — the flat-shift trick of
+ops/stencil.py's rolled mode, now at VPU cost.
+
+The stage cost rides along factorized (SURVEY.md §7: never materialize the
+S x A tensor): Qw|w|^2 per row + Qq|q_vec|^2 per lane + R|u|^2 per action
+(calculate_J_current_state_fix_shaped, Solver_attitude.m:315-342). The
+row+lane parts are added once after the argmin (a shared constant per state
+cannot change the winner).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .backup import BackupResult
+from .interp import InterpPlan
+
+__all__ = ["PallasBackup6D", "build_pallas_backup_6d"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _live_taps(off: np.ndarray, frac: np.ndarray) -> list[int]:
+    """Taps with not-identically-zero weight (cf. stencil.py pruning)."""
+    taps = []
+    for t in range(int(off.min()), int(off.max()) + 2):
+        if np.any((off == t) & (1.0 - frac != 0.0)) or \
+           np.any((off == t - 1) & (frac != 0.0)):
+            taps.append(t)
+    return taps
+
+
+def _live_combos(axis_taps, axis_offs):
+    """Jointly-live tap combinations across a group of axes.
+
+    A flat combo (t_0..t_{k-1}) is live iff some query element has every
+    axis's offset in {t_k-1, t_k} simultaneously — pruning combos the
+    per-axis bands allow but no actual query reaches.
+    """
+    live = []
+    for combo in itertools.product(*axis_taps):
+        mask = True
+        for t, off in zip(combo, axis_offs):
+            mask = mask & ((off == t) | (off == t - 1))
+        if np.any(mask):
+            live.append(combo)
+    return live
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasBackup6D:
+    """Callable fused backup for row/lane-separable 6-D problems.
+
+    ``row_axes`` state axes (default 3) form the flat row index; queries
+    along them must not vary with the lane axes. The remaining state axes
+    form the flat lane index; queries along them must not vary with the
+    action. The attitude ``build_full`` plan satisfies both by construction.
+    """
+
+    def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
+                 row_tile: int = 32, interpret: bool | None = None,
+                 max_flat_taps: int = 40):
+        d = plan.ndim
+        q_shape = plan.query_shape
+        state_shape = q_shape[:-1]
+        if len(state_shape) != d:
+            raise ValueError("plan query shape mismatch")
+        self.state_shape = state_shape
+        self.n_actions = q_shape[-1]
+        nr, nc = row_axes, d - row_axes
+        self.NW = int(np.prod(state_shape[:nr]))
+        self.NE = int(np.prod(state_shape[nr:]))
+        self.NEp = _round_up(self.NE, 128)
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+
+        # --- host-side tap analysis -------------------------------------
+        row_strides = [int(np.prod(state_shape[k + 1:nr], dtype=np.int64))
+                       for k in range(nr)]
+        lane_strides = [int(np.prod(state_shape[k + 1:], dtype=np.int64))
+                        for k in range(nr, d)]
+
+        w_off, w_frac, w_taps = [], [], []
+        for k in range(nr):
+            lo = np.asarray(plan.lo[k])
+            fr = np.asarray(plan.frac[k], np.float32)
+            if any(s > 1 for s in lo.shape[nr:d]) or \
+               any(s > 1 for s in fr.shape[nr:d]):
+                raise ValueError(
+                    f"row axis {k} query varies along lane axes — "
+                    "not row/lane separable; use the stencil/gather backup")
+            idx = np.arange(state_shape[k]).reshape(
+                (1,) * k + (-1,) + (1,) * (d - k))
+            off = lo - idx
+            off_b = np.broadcast_to(off, state_shape[:nr] + (1,) * nc
+                                    + (self.n_actions,))
+            fr_b = np.broadcast_to(fr, off_b.shape)
+            w_off.append(off_b.reshape(self.NW, self.n_actions))
+            w_frac.append(fr_b.reshape(self.NW, self.n_actions))
+            w_taps.append(_live_taps(w_off[-1], w_frac[-1]))
+
+        e_off, e_frac, e_taps = [], [], []
+        for k in range(nr, d):
+            lo = np.asarray(plan.lo[k])
+            fr = np.asarray(plan.frac[k], np.float32)
+            if lo.shape[-1] > 1 or fr.shape[-1] > 1:
+                raise ValueError(
+                    f"lane axis {k} query varies with the action — "
+                    "not row/lane separable; use the stencil/gather backup")
+            idx = np.arange(state_shape[k]).reshape(
+                (1,) * k + (-1,) + (1,) * (d - k))
+            off = lo - idx
+            off_b = np.broadcast_to(off, state_shape + (1,))
+            fr_b = np.broadcast_to(fr, off_b.shape)
+            e_off.append(off_b.reshape(self.NW, self.NE))
+            e_frac.append(fr_b.reshape(self.NW, self.NE))
+            e_taps.append(_live_taps(e_off[-1], e_frac[-1]))
+
+        self.row_combos = tuple(_live_combos(w_taps, w_off))   # flat row offs
+        self.lane_combos = tuple(_live_combos(e_taps, e_off))  # flat lane offs
+
+        # Action-digit factorization: when row axis k's (off, frac) depend
+        # only on digit k of the C-order action index (true for attitude —
+        # u_k enters only axis k's dynamics), the action phase contracts
+        # tap axes one digit at a time: 3*digits^(axes) FMAs instead of
+        # actions * row_combos (243 vs 729 at 27 actions).
+        self.action_digits = None
+        if nr >= 1:
+            digits = self._detect_action_digits(w_off, w_frac, nr)
+            if digits is not None:
+                self.action_digits = digits
+        if len(self.row_combos) > max_flat_taps or \
+           len(self.lane_combos) > max_flat_taps:
+            raise ValueError(
+                f"{len(self.row_combos)} row x {len(self.lane_combos)} lane "
+                f"flat taps exceed max_flat_taps={max_flat_taps}")
+        self.row_deltas = tuple(sum(t * s for t, s in zip(c, row_strides))
+                                for c in self.row_combos)
+        self.lane_deltas = tuple(sum(t * s for t, s in zip(c, lane_strides))
+                                 for c in self.lane_combos)
+        self.d_min = min(self.row_deltas)
+        self.d_max = max(self.row_deltas)
+        self.w_taps = tuple(tuple(t) for t in w_taps)
+        self.e_taps = tuple(tuple(t) for t in e_taps)
+
+        # --- padded device-side inputs ----------------------------------
+        self.row_tile = row_tile
+        self.NWp = _round_up(self.NW, row_tile)
+
+        def pad_rows(a, fill_edge=True):
+            if a.shape[0] == self.NWp:
+                return a
+            pad = self.NWp - a.shape[0]
+            mode = "edge" if fill_edge else "constant"
+            return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), mode=mode)
+
+        def pad_lanes(a):
+            if a.shape[1] == self.NEp:
+                return a
+            # duplicate lane 0 so pad-lane arithmetic stays finite
+            pad = a[:, :1].repeat(self.NEp - a.shape[1], axis=1)
+            return np.concatenate([a, pad], axis=1)
+
+        self.w_off_j = tuple(jnp.asarray(pad_rows(o).astype(np.int32))
+                             for o in w_off)
+        self.w_frac_j = tuple(jnp.asarray(pad_rows(f)) for f in w_frac)
+        self.e_off_j = tuple(jnp.asarray(pad_rows(pad_lanes(o)).astype(np.int32))
+                             for o in e_off)
+        self.e_frac_j = tuple(jnp.asarray(pad_rows(pad_lanes(f)))
+                              for f in e_frac)
+
+        # --- factorized stage cost --------------------------------------
+        c_row = np.zeros(self.NW, np.float32)
+        c_lane = np.zeros(self.NE, np.float32)
+        c_act = np.zeros(self.n_actions, np.float32)
+        terms = (list(cost_terms) if isinstance(cost_terms, (tuple, list))
+                 else [cost_terms])
+        for term in terms:
+            t = np.asarray(term, np.float32)
+            if t.ndim != d + 1:
+                t = t.reshape((1,) * (d + 1 - t.ndim) + t.shape)
+            row_dep = any(s > 1 for s in t.shape[:nr])
+            lane_dep = any(s > 1 for s in t.shape[nr:d])
+            act_dep = t.shape[-1] > 1
+            if row_dep + lane_dep + act_dep > 1:
+                raise ValueError(
+                    "cost term couples row/lane/action groups — "
+                    "not factorizable for the 6-D kernel")
+            if act_dep:
+                c_act += np.broadcast_to(t, (1,) * d + (self.n_actions,)
+                                         ).reshape(self.n_actions)
+            elif lane_dep:
+                c_lane += np.broadcast_to(
+                    t, (1,) * nr + state_shape[nr:] + (1,)).reshape(self.NE)
+            else:
+                c_row += np.broadcast_to(
+                    t, state_shape[:nr] + (1,) * (nc + 1)).reshape(self.NW)
+        self.c_row_j = jnp.asarray(pad_rows(c_row[:, None]))
+        self.c_lane_j = jnp.asarray(pad_lanes(c_lane[None, :]))
+        # per-action scalars become kernel immediates (tiny, host-known)
+        self.c_act = tuple(float(x) for x in c_act)
+
+        # Padded layout [pad_top zeros; NW real; ... zeros]; real row r's
+        # tap D reads padded row r + pad_top + D. Each tap is realized as an
+        # 8-ALIGNED (T+8)-row dynamic slice of the VMEM-resident table plus
+        # a sub-8 sublane roll — NOT one big rolled window per tap, whose
+        # (T+span)-row temporaries stack-OOM VMEM at 27 taps (measured:
+        # 66MB demand vs the 16MB budget at 11^3x10^3).
+        self.pad_top = max(-self.d_min, 0)
+        aligned_max = ((self.d_max + self.pad_top) // 8) * 8
+        self.pad_bot = max(aligned_max + 8 - self.pad_top, 0)
+
+    @staticmethod
+    def _detect_action_digits(w_off, w_frac, nr):
+        """Detect a C-order digit decomposition A = m^nr where row axis k's
+        (off, frac) columns depend only on digit k. Returns m or None."""
+        A = w_off[0].shape[1]
+        m = round(A ** (1.0 / nr))
+        if m**nr != A or m < 2:
+            return None
+        for k in range(nr):
+            stride = m ** (nr - 1 - k)
+            for a in range(A):
+                rep = (a // stride) % m * stride  # canonical column per digit
+                if not (np.array_equal(w_off[k][:, a], w_off[k][:, rep])
+                        and np.array_equal(w_frac[k][:, a],
+                                           w_frac[k][:, rep])):
+                    return None
+        return m
+
+    # ------------------------------------------------------------- kernel
+    def _kernel(self, v_ref, *refs):
+        nr, nc = len(self.w_off_j), len(self.e_off_j)
+        it = iter(refs)
+        w_off = [next(it) for _ in range(nr)]
+        w_frac = [next(it) for _ in range(nr)]
+        e_off = [next(it) for _ in range(nc)]
+        e_frac = [next(it) for _ in range(nc)]
+        c_row, c_lane = next(it), next(it)
+        out_v, out_a = next(it), next(it)
+        a_scr = next(it)
+
+        T, NE = self.row_tile, self.NEp
+        row0 = pl.multiple_of(pl.program_id(0) * T, T)
+
+        # per-axis lane tap weights, shared across actions and row shifts
+        e_w = []
+        for k in range(nc):
+            ws = {}
+            off, fr = e_off[k][...], e_frac[k][...]
+            for t in self.e_taps[k]:
+                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                    + jnp.where(off == t - 1, fr, 0.0)
+            e_w.append(ws)
+
+        # lane-combo weight products, hoisted: they are row-shift-invariant
+        # (recomputing them per D was the #1 op-count sink)
+        we = []
+        for combo in self.lane_combos:
+            w = None
+            for k, t in enumerate(combo):
+                w = e_w[k][t] if w is None else w * e_w[k][t]
+            we.append(w)
+
+        # A_D = lane-interpolated value rows for each flat row shift
+        for j, drow in enumerate(self.row_deltas):
+            shift = drow + self.pad_top
+            aligned = (shift // 8) * 8
+            rem = shift - aligned
+            sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
+            rows = pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
+                else sub[:T, :]
+            acc = None
+            for w, dlane in zip(we, self.lane_deltas):
+                lane = pltpu.roll(rows, (-dlane) % NE, 1) \
+                    if dlane % NE else rows
+                term = w * lane
+                acc = term if acc is None else acc + term
+            a_scr[j, :, :] = acc
+
+        # per-axis row tap weights: (T, n_actions) each
+        w_w = []
+        for k in range(nr):
+            ws = {}
+            off, fr = w_off[k][...], w_frac[k][...]
+            for t in self.w_taps[k]:
+                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                    + jnp.where(off == t - 1, fr, 0.0)
+            w_w.append(ws)
+
+        if self.action_digits and nr == 3:
+            best_v, best_a = self._action_phase_factorized(w_w, a_scr, T, NE)
+        else:
+            best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr)
+        out_v[:, :] = best_v + c_row[...] + c_lane[0:1, :]
+        out_a[:, :] = best_a
+
+    def _action_phase_generic(self, w_w, a_scr, T, NE, nr):
+        """27 actions x |row_combos| accumulation (any action structure)."""
+        best_v = None
+        best_a = None
+        for a in range(self.n_actions):
+            tot = None
+            for j, combo in enumerate(self.row_combos):
+                w = None
+                for k, t in enumerate(combo):
+                    col = w_w[k][t][:, a:a + 1]          # (T, 1)
+                    w = col if w is None else w * col
+                term = w * a_scr[j, :, :]
+                tot = term if tot is None else tot + term
+            if self.c_act[a]:
+                tot = tot + self.c_act[a]
+            if best_v is None:
+                best_v = tot
+                best_a = jnp.zeros((T, NE), jnp.int32)
+            else:
+                better = tot < best_v        # strict: first minimum wins
+                best_v = jnp.where(better, tot, best_v)
+                best_a = jnp.where(better, jnp.int32(a), best_a)
+        return best_v, best_a
+
+    def _action_phase_factorized(self, w_w, a_scr, T, NE):
+        """Digit-factorized contraction: axis k's weight depends only on
+        action digit k (C-order a = (a0*m + a1)*m + a2), so tap axes
+        contract one digit at a time — 3*m^3 + m^3-ish FMAs instead of
+        A * |row_combos| (243 vs 729 for the attitude 27-action set)."""
+        m = self.action_digits
+        jidx = {c: j for j, c in enumerate(self.row_combos)}
+        t0s = sorted({c[0] for c in self.row_combos})
+        t01s = sorted({c[:2] for c in self.row_combos})
+
+        def col(k, t, digit):
+            a = digit * m ** (2 - k)      # canonical action with digit k
+            return w_w[k][t][:, a:a + 1]
+
+        B = {}
+        for (t0, t1) in t01s:
+            for d2 in range(m):
+                acc = None
+                for t2 in self.w_taps[2]:
+                    j = jidx.get((t0, t1, t2))
+                    if j is None:
+                        continue
+                    term = col(2, t2, d2) * a_scr[j, :, :]
+                    acc = term if acc is None else acc + term
+                B[(t0, t1, d2)] = acc
+        C = {}
+        for t0 in t0s:
+            for d1 in range(m):
+                for d2 in range(m):
+                    acc = None
+                    for t1 in self.w_taps[1]:
+                        b = B.get((t0, t1, d2))
+                        if b is None:
+                            continue
+                        term = col(1, t1, d1) * b
+                        acc = term if acc is None else acc + term
+                    C[(t0, d1, d2)] = acc
+        best_v = None
+        best_a = None
+        for a in range(self.n_actions):
+            d0, rem = divmod(a, m * m)
+            d1, d2 = divmod(rem, m)
+            tot = None
+            for t0 in t0s:
+                c = C.get((t0, d1, d2))
+                if c is None:
+                    continue
+                term = col(0, t0, d0) * c
+                tot = term if tot is None else tot + term
+            if self.c_act[a]:
+                tot = tot + self.c_act[a]
+            if best_v is None:
+                best_v = tot
+                best_a = jnp.zeros((T, NE), jnp.int32)
+            else:
+                better = tot < best_v        # strict: first minimum wins
+                best_v = jnp.where(better, tot, best_v)
+                best_a = jnp.where(better, jnp.int32(a), best_a)
+        return best_v, best_a
+
+    # pytree protocol: arrays are leaves so the whole backup can ride
+    # through jit/scan as an ARGUMENT — its ~MBs of off/frac tables must
+    # never become compile-payload constants (NOTES.md: remote-compile
+    # HTTP 413 at ~50MB; exactly what killed the XLA stencil at scale).
+    traced_argument = True   # engines must pass this backup as a jit ARG
+
+    _LEAF_FIELDS = ("w_off_j", "w_frac_j", "e_off_j", "e_frac_j",
+                    "c_row_j", "c_lane_j")
+    _AUX_FIELDS = ("state_shape", "n_actions", "NW", "NE", "NEp", "NWp",
+                   "row_tile", "interpret", "row_combos", "lane_combos",
+                   "row_deltas", "lane_deltas", "d_min", "d_max",
+                   "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
+                   "action_digits")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
+                tuple(getattr(self, f) for f in self._AUX_FIELDS))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for f, v in zip(cls._AUX_FIELDS, aux):
+            setattr(obj, f, v)
+        for f, v in zip(cls._LEAF_FIELDS, leaves):
+            setattr(obj, f, v)
+        return obj
+
+    def __call__(self, values: jax.Array) -> BackupResult:
+        T, NE = self.row_tile, self.NEp
+        # rows layout: [pad_top zeros; NW real; (NWp-NW)+pad_bot zeros]
+        v2 = values.reshape(self.NW, self.NE)
+        v2 = jnp.pad(v2, ((self.pad_top,
+                           self.NWp - self.NW + self.pad_bot),
+                          (0, NE - self.NE)))
+        grid = (self.NWp // T,)
+
+        def tile2(a):
+            return pl.BlockSpec((T, a.shape[1]), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # whole table
+        args = []
+        for seq in (self.w_off_j, self.w_frac_j, self.e_off_j, self.e_frac_j):
+            for a in seq:
+                in_specs.append(tile2(a))
+                args.append(a)
+        in_specs.append(tile2(self.c_row_j))
+        args.append(self.c_row_j)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(self.c_lane_j)
+
+        out = pl.pallas_call(
+            self._kernel,
+            grid=grid,
+            interpret=self.interpret,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((T, NE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, NE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((self.NWp, NE), jnp.float32),
+                jax.ShapeDtypeStruct((self.NWp, NE), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # Mosaic's default scoped-vmem budget is 16MB; the unrolled
+                # tap temporaries + the VMEM-resident table need more on
+                # v5e (128MB physical VMEM) at the 11^3x10^3 flagship size
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(v2, *args)
+        vals = out[0][:self.NW, :self.NE].reshape(self.state_shape)
+        args_out = out[1][:self.NW, :self.NE].reshape(self.state_shape)
+        return BackupResult(vals, args_out)
+
+
+def build_pallas_backup_6d(plan: InterpPlan, cost_terms, **kw) -> PallasBackup6D:
+    return PallasBackup6D(plan, cost_terms, **kw)

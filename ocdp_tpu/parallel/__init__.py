@@ -6,12 +6,13 @@ north star: shard the DP backup over `jax.sharding.Mesh` axes with XLA
 collectives over ICI.
 """
 
-from .halo import value_iteration_finite_halo
+from .halo import value_iteration_converged_halo, value_iteration_finite_halo
 from .multihost import initialize_distributed, make_mesh
 from .sharded import (
     ShardedPlan,
     shard_backup_inputs,
     sharded_bellman_sweeps,
+    value_iteration_converged_sharded,
     value_iteration_finite_sharded,
 )
 
@@ -20,7 +21,9 @@ __all__ = [
     "shard_backup_inputs",
     "sharded_bellman_sweeps",
     "value_iteration_finite_sharded",
+    "value_iteration_converged_sharded",
     "value_iteration_finite_halo",
+    "value_iteration_converged_halo",
     "initialize_distributed",
     "make_mesh",
 ]

@@ -34,11 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine import SolveResult
+from ..engine import SolveResult, policy_dtype_for
 from ..ops.interp import InterpPlan
 from ..ops.stencil import build_stencil_backup
 
-__all__ = ["value_iteration_finite_halo"]
+__all__ = ["value_iteration_finite_halo", "value_iteration_converged_halo"]
 
 
 def _halo_pad_axis0(v_local, axis_name, lo, hi, n_dev):
@@ -101,12 +101,15 @@ def value_iteration_finite_halo(
         # slice starts are relative to the local padded table, so b_start=0
         xs = (jnp.asarray(0, jnp.int32),) + local
 
+        pdt = policy_dtype_for(sb.n_actions)
+
         def sweep(carry, _):
             v_local, _ = carry
             v_halo = _halo_pad_axis0(v_local, axis_name, lo0, hi0, n_dev)
             v_pad = jnp.pad(v_halo, other_pads)
             vals, args = sb.block_sweep(v_pad, xs)
-            return (vals, args), (args if store_policies else None)
+            return (vals, args), (args.astype(pdt) if store_policies
+                                  else None)
 
         init = (v_blk, jnp.zeros(sb.block_shape, jnp.int32))
         (v_fin, args), pols = jax.lax.scan(sweep, init, None,
@@ -137,4 +140,109 @@ def value_iteration_finite_halo(
         policies=policies,
         num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
         converged=jnp.asarray(False),
+    )
+
+
+def value_iteration_converged_halo(
+    plan: InterpPlan,
+    stage_cost,
+    max_sweeps: int,
+    mesh: Mesh,
+    *,
+    check_every: int = 50,
+    tol: float = 1e-2,
+    axis_name: str = "s",
+    action_chunk: Optional[int] = None,
+    weight_mode: str = "onthefly",
+    init_values: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Early-stopping twin of :func:`value_iteration_finite_halo`.
+
+    The table never leaves its shards: the stop decision needs only the
+    GLOBAL sums ``errorF = Δ Σ V`` / ``errorU = Δ Σ argmin`` — one scalar
+    ``psum`` each over the mesh axis per sweep, identical on every device
+    (pos-att/Solver_pos_att.m:268-286 semantics). Values/argmin are bitwise
+    equal to the single-chip converged engine; the checksum itself can
+    differ from the single-chip full-table sum by ~1 ulp (per-shard partial
+    sums reduce in a different order), so a tolerance sitting exactly on an
+    errorF value could in principle stop one check later.
+    """
+    n_dev = mesh.shape[axis_name]
+    sb = build_stencil_backup(plan, stage_cost, action_chunk=action_chunk,
+                              state_blocks=n_dev, weight_mode=weight_mode)
+    if sb.edge_taps and (sb.edge_taps[0][0] or sb.edge_taps[0][1]):
+        raise ValueError("axis-0 edge taps need global edge rows; "
+                         "edge_split is not supported by the halo engine")
+    lo0, hi0 = sb.pad[0]
+    block0 = sb.block_shape[0]
+    if max(lo0, hi0) > block0:
+        raise ValueError(
+            f"halo widths {sb.pad[0]} exceed the per-device block height "
+            f"{block0}; use fewer devices or the all_gather engine")
+    other_pads = ((0, 0),) + tuple(sb.pad[1:])
+    grid_shape = sb.grid_shape
+    state_ndim = len(sb.state_shape)
+    n_checks = max(max_sweeps // check_every, 1)
+
+    if init_values is None:
+        init_values = jnp.zeros(grid_shape, jnp.float32)
+
+    def run(v_blk, offs, fracs, weights, costs, base):
+        local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs, base))
+        xs = (jnp.asarray(0, jnp.int32),) + local
+
+        def cond(carry):
+            k_s, converged = carry[2], carry[4]
+            return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+
+        def body(carry):
+            v_local, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
+            v_halo = _halo_pad_axis0(v_local, axis_name, lo0, hi0, n_dev)
+            v_pad = jnp.pad(v_halo, other_pads)
+            vals, args = sb.block_sweep(v_pad, xs)
+            do_check = (k_s % check_every) == 0
+            fsum = jax.lax.psum(jnp.sum(vals, dtype=jnp.float32), axis_name)
+            usum = jax.lax.psum(jnp.sum(args, dtype=jnp.float32), axis_name)
+            err_f = fsum - fsum_prev
+            err_u = usum - usum_prev
+            converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
+            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+            usum_prev = jnp.where(do_check, usum, usum_prev)
+            return (vals, args, k_s - 1, (fsum_prev, usum_prev), converged,
+                    checks, c_idx)
+
+        init = (
+            v_blk,
+            jnp.zeros(sb.block_shape, jnp.int32),
+            jnp.asarray(max_sweeps, jnp.int32),
+            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
+            jnp.asarray(False),
+            jnp.zeros((n_checks, 3), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        v_fin, args, k_s, _, converged, checks, _ = jax.lax.while_loop(
+            cond, body, init)
+        return v_fin, args, k_s, converged, checks
+
+    blocked = P(*([axis_name] + [None] * (state_ndim - 1)))
+    arr_spec = jax.tree.map(
+        lambda a: P(*([axis_name] + [None] * (a.ndim - 1))),
+        (sb.off_res, sb.frac, sb.weights, sb.cost_blocked, sb.base),
+    )
+    in_specs = (blocked,) + arr_spec
+    out_specs = (blocked, blocked, P(), P(), P())
+    fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    values, argmin, k_s, converged, checks = jax.jit(fn)(
+        init_values, sb.off_res, sb.frac, sb.weights, sb.cost_blocked, sb.base)
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=None,
+        num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
+        converged=converged,
+        checks=checks,
     )

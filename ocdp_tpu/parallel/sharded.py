@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine import SolveResult
+from ..engine import SolveResult, policy_dtype_for
 from ..ops.interp import InterpPlan, interp_apply
 
 __all__ = [
@@ -46,6 +46,7 @@ __all__ = [
     "shard_backup_inputs",
     "sharded_bellman_sweeps",
     "value_iteration_finite_sharded",
+    "value_iteration_converged_sharded",
 ]
 
 
@@ -200,13 +201,16 @@ def sharded_bellman_sweeps(
         plan = InterpPlan(tuple(flat[:k]), tuple(flat[k:2 * k]), grid_shape)
         cost = flat[2 * k]
 
+        pdt = policy_dtype_for(sp.action_size)
+
         def sweep(carry, _):
             v, _ = carry
             vals, args = _local_backup(v, plan, cost, sp)
             v_new = jax.lax.all_gather(vals, name, axis=sa, tiled=True)
             if pad_rows:
                 v_new = jax.lax.slice_in_dim(v_new, 0, sp.state_size, axis=sa)
-            return (v_new, args), (args if store_policies else None)
+            return (v_new, args), (args.astype(pdt) if store_policies
+                                   else None)
 
         block_state = tuple(
             (s // n_s if i == sa else s)
@@ -235,6 +239,117 @@ def sharded_bellman_sweeps(
             pols = jax.lax.slice_in_dim(pols, 0, sp.state_size, axis=sa + 1)
         return v_fin, args_full, pols
     return out[0], out[1], None
+
+
+def value_iteration_converged_sharded(
+    plan: InterpPlan,
+    stage_cost: jax.Array,
+    max_sweeps: int,
+    mesh: Mesh,
+    *,
+    check_every: int = 50,
+    tol: float = 1e-2,
+    shard_axis: int = 0,
+    state_axis_name: str = "s",
+    action_axis_name: Optional[str] = None,
+    init_values: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Mesh-sharded twin of :func:`ocdp_tpu.engine.value_iteration_converged`.
+
+    The early-stop decision (pos-att/Solver_pos_att.m:268-286) must be
+    IDENTICAL on every device or the mesh deadlocks. After each sweep's
+    ``all_gather`` every device holds the full (unpadded) table, so
+    ``errorF = Δ Σ V`` is computed redundantly-but-identically per device;
+    ``errorU = Δ Σ argmin`` sums each device's local block and combines with
+    a ``psum`` over the state mesh axis (padded rows masked out). Results
+    match the single-chip engine bitwise, including the stopping sweep.
+    """
+    sp = shard_backup_inputs(
+        plan, stage_cost, mesh, shard_axis=shard_axis,
+        state_axis_name=state_axis_name, action_axis_name=action_axis_name,
+    )
+    grid_shape = sp.plan.grid_shape
+    if init_values is None:
+        init_values = jnp.zeros(grid_shape, jnp.float32)
+    sa, name = sp.shard_axis, sp.state_axis_name
+    pad_rows = sp.plan.query_shape[sa] - sp.state_size
+    blk = sp.plan.query_shape[sa] // mesh.shape[name]
+    n_checks = max(max_sweeps // check_every, 1)
+
+    def run(v0, *flat):
+        k = len(sp.plan.lo)
+        plan_l = InterpPlan(tuple(flat[:k]), tuple(flat[k:2 * k]), grid_shape)
+        cost = flat[2 * k]
+
+        # rows of this block that are real (not state-axis padding)
+        row0 = jax.lax.axis_index(name) * blk
+        local_rows = row0 + jnp.arange(blk)
+        row_mask_shape = [1] * (len(sp.plan.query_shape) - 1)
+        row_mask_shape[sa] = blk
+        row_mask = (local_rows < sp.state_size).reshape(row_mask_shape)
+
+        block_state = tuple(
+            (s // mesh.shape[name] if i == sa else s)
+            for i, s in enumerate(sp.plan.query_shape[:-1])
+        )
+
+        def cond(carry):
+            k_s, converged = carry[2], carry[4]
+            return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+
+        def body(carry):
+            v, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
+            vals, args = _local_backup(v, plan_l, cost, sp)
+            v_new = jax.lax.all_gather(vals, name, axis=sa, tiled=True)
+            if pad_rows:
+                v_new = jax.lax.slice_in_dim(v_new, 0, sp.state_size, axis=sa)
+            do_check = (k_s % check_every) == 0
+            fsum = jnp.sum(v_new, dtype=jnp.float32)      # identical/device
+            usum = jax.lax.psum(
+                jnp.sum(jnp.where(row_mask, args, 0), dtype=jnp.float32),
+                name)
+            err_f = fsum - fsum_prev
+            err_u = usum - usum_prev
+            converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
+            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+            usum_prev = jnp.where(do_check, usum, usum_prev)
+            return (v_new, args, k_s - 1, (fsum_prev, usum_prev), converged,
+                    checks, c_idx)
+
+        init = (
+            v0,
+            jnp.zeros(block_state, jnp.int32),
+            jnp.asarray(max_sweeps, jnp.int32),
+            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
+            jnp.asarray(False),
+            jnp.zeros((n_checks, 3), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        v_fin, args, k_s, _, converged, checks, _ = jax.lax.while_loop(
+            cond, body, init)
+        args_full = jax.lax.all_gather(args, name, axis=sa, tiled=True)
+        if pad_rows:
+            args_full = jax.lax.slice_in_dim(args_full, 0, sp.state_size,
+                                             axis=sa)
+        return v_fin, args_full, k_s, converged, checks
+
+    in_specs = (P(),) + sp.in_specs
+    out_specs = (P(), P(), P(), P(), P())
+    fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    flat = tuple(sp.plan.lo) + tuple(sp.plan.frac) + (sp.cost,)
+    values, argmin, k_s, converged, checks = jax.jit(fn)(init_values, *flat)
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=None,
+        num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
+        converged=converged,
+        checks=checks,
+    )
 
 
 def value_iteration_finite_sharded(

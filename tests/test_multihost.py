@@ -1,0 +1,64 @@
+"""Real 2-process jax.distributed execution (the DCN-analog test).
+
+SURVEY.md §2.5/§5 mandates `jax.distributed` as the multi-host backend; this
+test actually RUNS it: two local processes, 4 virtual CPU devices each,
+one global 8-device mesh, a sharded Kirk solve whose per-sweep all_gather
+crosses the process boundary. Results must equal the single-process solve
+bitwise.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from ocdp_tpu import value_iteration_finite
+from ocdp_tpu.models import kirk
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_sharded_solve_matches_single_process():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"p{i}.npz") for i in range(2)]
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, _WORKER, coordinator, "2", str(i), outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            logs.append(out.decode(errors="replace"))
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"worker failed:\n{log}"
+
+        problem = kirk.build(kirk.KirkConfig(N=12, dx=16, du=12))
+        ref = value_iteration_finite(problem.plan, problem.stage_cost, 11)
+        for out_path in outs:
+            with np.load(out_path) as z:
+                np.testing.assert_array_equal(z["values"],
+                                              np.asarray(ref.values))
+                np.testing.assert_array_equal(z["argmin"],
+                                              np.asarray(ref.argmin))

@@ -1,0 +1,106 @@
+"""6-D Pallas backup kernel vs the gather oracle (interpret mode on CPU).
+
+The kernel must reproduce the generic gather backup exactly: multilinear
+interpolation with MATLAB extrapolation semantics, factorized stage cost,
+flat C-order first-min argmin (Solver_attitude.m:384-411). Sizes here are
+small; the at-scale run (11^3 x 10^3 on a real chip) is exercised by
+bench/NOTES, not CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocdp_tpu.models import attitude
+from ocdp_tpu.ops.backup import bellman_backup
+from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+
+
+def _full_cost(plan, cost_terms):
+    return sum(jnp.broadcast_to(t, plan.query_shape) for t in cost_terms)
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    grid, plan, cost = attitude.build_full(cfg)
+    return cfg, grid, plan, cost
+
+
+def test_single_sweep_matches_gather(small_problem):
+    _, grid, plan, cost = small_problem
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    v = jax.random.uniform(jax.random.PRNGKey(0), grid.shape, jnp.float32)
+    ref = bellman_backup(v, plan, _full_cost(plan, cost))
+    out = bk(v)
+    np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_multi_sweep_engine_parity(small_problem):
+    cfg, _, _, _ = small_problem
+    sol_p = attitude.solve_full(cfg, num_sweeps=5, impl="pallas")
+    sol_g = attitude.solve_full(cfg, num_sweeps=5, impl="gather")
+    np.testing.assert_allclose(np.asarray(sol_p.result.values),
+                               np.asarray(sol_g.result.values),
+                               rtol=1e-5, atol=1e-4)
+    agree = (np.asarray(sol_p.result.argmin)
+             == np.asarray(sol_g.result.argmin)).mean()
+    assert agree == 1.0
+
+
+def test_row_tile_not_dividing_rows(small_problem):
+    """NW = 125 with row_tile=16 forces row padding paths."""
+    _, grid, plan, cost = small_problem
+    bk = build_pallas_backup_6d(plan, cost, row_tile=16)
+    v = jax.random.uniform(jax.random.PRNGKey(1), grid.shape, jnp.float32)
+    ref = bellman_backup(v, plan, _full_cost(plan, cost))
+    out = bk(v)
+    np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_asymmetric_euler_meshes():
+    """Unequal Euler axis sizes exercise non-uniform lane strides."""
+    cfg = attitude.AttitudeConfig(n_mesh_w=4, n_mesh_q=3)
+    grid, plan, cost = attitude.build_full(cfg)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    v = jax.random.uniform(jax.random.PRNGKey(2), grid.shape, jnp.float32)
+    ref = bellman_backup(v, plan, _full_cost(plan, cost))
+    out = bk(v)
+    np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_rejects_non_separable_plan():
+    """Kirk's 2-D plan has action-dependent queries on every axis — the
+    row/lane split must refuse it (callers fall back to stencil/gather)."""
+    from ocdp_tpu.models import kirk
+
+    p = kirk.build(kirk.KirkConfig.golden())
+    with pytest.raises(ValueError):
+        build_pallas_backup_6d(p.plan, p.stage_cost, row_axes=1)
+
+
+def test_tie_break_first_min():
+    """h=0 pins every query exactly on its own grid point (frac = 0 exact),
+    so with zero cost all 27 actions tie EXACTLY; the flat argmin must be 0
+    everywhere (MATLAB first-minimum, Solver_attitude.m:400-409)."""
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4, h=0.0)
+    grid, plan, cost = attitude.build_full(cfg)
+    zero_terms = tuple(jnp.zeros_like(t) for t in cost)
+    bk = build_pallas_backup_6d(plan, zero_terms, row_tile=8)
+    v = jax.random.uniform(jax.random.PRNGKey(3), grid.shape, jnp.float32)
+    out = bk(v)
+    assert int(np.asarray(out.argmin).max()) == 0
+    # values reproduce V up to the Euler->quat->Euler f32 roundtrip (the w
+    # queries are exact at h=0; the Euler readback is not bit-exact)
+    np.testing.assert_allclose(np.asarray(out.values), np.asarray(v),
+                               atol=2e-6)
