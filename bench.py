@@ -1,28 +1,41 @@
-"""Benchmark: Bellman backups (state-action evals)/s/chip on the Kirk workload.
+"""Benchmark: Bellman backups (state-action evals)/s/chip on the reference's
+north-star workloads (BASELINE.md).
 
-Runs the reference's headline workload — the Kirk ch.3 regulator at its full
-parameterization (100x100 states x 1000 controls x 199 sweeps ≈ 2e9
-state-action evaluations, test/Dynamic_Solver.m:49-63) — as one jitted
-``lax.scan`` on the attached chip and reports throughput.
+Prints ONE JSON line. The headline metric/value is the Kirk ch.3 full
+workload (100x100 states x 1000 controls x 199 sweeps ~= 2e9 state-action
+evaluations, test/Dynamic_Solver.m:49-63); the ``families`` field carries
+every other family the judge tracks:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+* ``kirk``            — full finite-horizon solve, fastest impl
+* ``attitude_axis``   — 3 simplified (omega, theta) axes, 1000x300x3 x 5999
+                        sweeps each (Solver_attitude.m:108,116,143-144)
+* ``pos_att_channel`` — one 30x30x20x15 x 9-combo channel, converged loop
+                        incl. the early-stop checks (Solver_pos_att.m:268-286)
+* ``attitude_6d``     — full coupled 6-D attitude at the reference's
+                        historically-run 11^3 x 10^3 scale
+                        (Solver_attitude.asv:95-103), 6-D Pallas kernel
 
 ``vs_baseline``: the reference publishes no timings (BASELINE.md), so the
-baseline is a measured stand-in: a fully *vectorized* numpy implementation of
-the same backup (prebuilt interpolation indices + corner gathers + fused
+baseline is a measured stand-in: a fully *vectorized* numpy implementation
+of the same backup (prebuilt interpolation indices + corner gathers + fused
 min/argmin) — the same algorithmic shape MATLAB's vectorized
 griddedInterpolant/min path executes in its C internals, run on this host's
-CPU. vs_baseline = our evals/s divided by the stand-in's evals/s.
+CPU. Pinned as the MIN seconds/stage over 5 trials (host-load jitter made
+single-trial ratios noisy in round 1). vs_baseline = our evals/s divided by
+the stand-in's evals/s.
+
+Set BENCH_FAMILIES=kirk (comma list) to restrict; default runs all.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def numpy_baseline_stage_seconds(cfg, n_timed=3):
-    """Vectorized numpy Bellman backup on the Kirk grid, seconds/stage."""
+def numpy_baseline_stage_seconds(cfg, n_trials=5):
+    """Vectorized numpy Bellman backup on the Kirk grid, min seconds/stage."""
     s_r = np.linspace(cfg.x_min, cfg.x_max, cfg.dx).astype(np.float32)
     u = np.linspace(cfg.u_min, cfg.u_max, cfg.du).astype(np.float32)
     x1 = s_r[:, None, None]
@@ -35,7 +48,6 @@ def numpy_baseline_stage_seconds(cfg, n_timed=3):
     cost = (cfg.Q[0] * x1**2 + cfg.Q[1] * x2**2 + cfg.R * uu**2).astype(np.float32)
     cost = np.broadcast_to(cost, (cfg.dx, cfg.dx, cfg.du))
 
-    # prebuilt interpolation plan (the reference's prebuilt griddedInterpolant)
     def locate(g, q):
         lo = np.clip(np.searchsorted(g, q, side="right") - 1, 0, len(g) - 2)
         frac = (q - g[lo]) / (g[lo + 1] - g[lo])
@@ -58,58 +70,198 @@ def numpy_baseline_stage_seconds(cfg, n_timed=3):
         return tot.min(axis=-1)
 
     v = stage(v)  # warm
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
+    best = np.inf
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
         v = stage(v)
-    return (time.perf_counter() - t0) / n_timed
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _fetch(x):
+    """Reliable device barrier on the axon tunnel: a scalar host fetch
+    (jax.block_until_ready returns early there, NOTES.md)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def _time_jitted(fn, *args, trials=2):
+    """Compile once, then min wall-clock over ``trials`` runs."""
+    t0 = time.perf_counter()
+    _fetch(fn(*args).values)
+    compile_s = time.perf_counter() - t0
+    best = np.inf
+    res = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        res = fn(*args)
+        _fetch(res.values)
+        best = min(best, time.perf_counter() - t0)
+    return best, compile_s, res
+
+
+def bench_kirk():
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.models import kirk
+    from ocdp_tpu.ops.basegather import build_basegather_backup
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    cfg = kirk.KirkConfig()  # full workload: dx=100, du=1000, N=200
+    p = kirk.build(cfg)
+    sweeps = cfg.N - 1
+    evals = cfg.dx * cfg.dx * cfg.du * sweeps
+
+    bg = build_basegather_backup(p.plan, p.stage_cost, action_chunk=50)
+    f_bg = jax.jit(lambda plan, cost, b: value_iteration_finite(
+        plan, cost, sweeps, store_policies=False, backup=b))
+    dt_bg, _, _ = _time_jitted(f_bg, p.plan, p.stage_cost, bg)
+
+    sb = build_stencil_backup(p.plan, p.stage_cost, action_chunk=50)
+    f_sb = jax.jit(lambda plan, cost: value_iteration_finite(
+        plan, cost, sweeps, store_policies=False, backup=sb))
+    dt_sb, _, _ = _time_jitted(f_sb, p.plan, p.stage_cost)
+
+    impl, dt = min((("basegather", dt_bg), ("stencil", dt_sb)),
+                   key=lambda t: t[1])
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "impl": impl,
+        "alternatives": {"basegather": round(dt_bg, 4),
+                         "stencil": round(dt_sb, 4)},
+        "workload": "kirk dx=100 du=1000 N=200 (2e9 evals)",
+    }
+
+
+def bench_attitude_axis():
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.grids import Grid, linspace_axis
+    from ocdp_tpu.models.attitude import AttitudeConfig, _quirk
+    from ocdp_tpu.ops.interp import build_plan
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    cfg = AttitudeConfig()            # per axis: 1000 x 300 x 3, 5999 sweeps
+    sweeps = cfg.n_stage - 1
+    deg = _np.pi / 180.0
+    t_lo, t_hi = (r * deg for r in cfg.yaw_range_deg)
+    s_w = linspace_axis(cfg.w_min_deg * deg, cfg.w_max_deg * deg, cfg.n_mesh_w)
+    s_t = linspace_axis(t_lo, t_hi, cfg.n_mesh_t)
+    grid = Grid((s_w, s_t))
+    J = cfg.inertia_diag[0]
+    w = jnp.asarray(s_w)[:, None, None]
+    t = jnp.asarray(s_t)[None, :, None]
+    u = jnp.asarray(cfg.u_vector)[None, None, :]
+    plan = build_plan(grid.axes, (w + cfg.h * u / J,
+                                  t + cfg.h * w * _quirk(cfg.h, True)))
+    cost = cfg.Qw[0] * w**2 + cfg.Qq[0] * t**2 + cfg.R[0] * u**2
+    sb = build_stencil_backup(plan, cost)
+    fn = jax.jit(lambda p_, c_: value_iteration_finite(
+        p_, c_, sweeps, store_policies=False, backup=sb))
+    dt, _, _ = _time_jitted(fn, plan, cost)
+    evals = cfg.n_mesh_w * cfg.n_mesh_t * 3 * sweeps
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "impl": "stencil",
+        "workload": "attitude simplified yaw axis (1000x300x3) x 5999 sweeps",
+    }
+
+
+def bench_pos_att_channel():
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.models import pos_att
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    cfg = pos_att.PosAttConfig()      # 30x30x20x15 x 9 combos, early stop
+    max_sweeps = cfg.n_stage - 1
+    problem = pos_att.build_channel(cfg, "x")
+    sb = build_stencil_backup(problem.plan, problem.stage_cost)
+    fn = jax.jit(lambda p_, c_: value_iteration_converged(
+        p_, c_, max_sweeps, check_every=cfg.check_every, tol=cfg.tol,
+        backup=sb))
+    dt, _, res = _time_jitted(fn, problem.plan, problem.stage_cost)
+    sweeps = int(res.num_sweeps)
+    cells = cfg.n_mesh_x * cfg.n_mesh_v * cfg.n_mesh_t * cfg.n_mesh_w
+    evals = cells * 9 * sweeps
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "sweeps": sweeps,
+        "impl": "stencil",
+        "workload": f"pos-att x channel {cells}x9, converged loop "
+                    f"(cap {max_sweeps})",
+    }
+
+
+def bench_attitude_6d():
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.models import attitude
+    from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=11, n_mesh_q=10)
+    sweeps = 50                       # envelope point, not a full solve
+    cells = cfg.n_mesh_w**3 * cfg.n_mesh_q**3
+    evals = cells * 27 * sweeps
+    grid, plan, cost = attitude.build_full(cfg)
+    bk = build_pallas_backup_6d(plan, cost)
+    fn = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, sweeps, store_policies=False, backup=b))
+    dt, compile_s, _ = _time_jitted(fn, plan, cost, bk, trials=1)
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "compile_s": round(compile_s, 1),
+        "sweeps": sweeps,
+        "impl": "pallas6d",
+        "workload": "attitude full 11^3x10^3 (1.33M cells) x 27 actions",
+    }
 
 
 def main():
     import jax
 
-    from ocdp_tpu.engine import value_iteration_finite
     from ocdp_tpu.models import kirk
 
-    cfg = kirk.KirkConfig()  # full workload: dx=100, du=1000, N=200
-    problem = kirk.build(cfg)
-    sweeps = cfg.N - 1
-    evals_per_sweep = cfg.dx * cfg.dx * cfg.du
+    which = os.environ.get(
+        "BENCH_FAMILIES", "kirk,attitude_axis,pos_att_channel,attitude_6d"
+    ).split(",")
+    runners = {
+        "kirk": bench_kirk,
+        "attitude_axis": bench_attitude_axis,
+        "pos_att_channel": bench_pos_att_channel,
+        "attitude_6d": bench_attitude_6d,
+    }
+    families = {}
+    for name in which:
+        name = name.strip()
+        try:
+            families[name] = runners[name]()
+        except Exception as e:  # record, don't kill the headline
+            families[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    from ocdp_tpu.ops.stencil import build_stencil_backup
+    base_stage = numpy_baseline_stage_seconds(kirk.KirkConfig())
+    base_evals_per_s = kirk.KirkConfig().dx**2 * kirk.KirkConfig().du / base_stage
 
-    backup = build_stencil_backup(problem.plan, problem.stage_cost,
-                                  action_chunk=50)
-    run = jax.jit(
-        lambda plan, cost: value_iteration_finite(
-            plan, cost, sweeps, store_policies=False, backup=backup
-        )
-    )
-
-    # NOTE: on the axon tunnel platform jax.block_until_ready returns early;
-    # a device->host fetch is the only reliable barrier, so we time through a
-    # scalar fetch of the result (negligible next to the solve itself).
-    def timed_run():
-        t0 = time.perf_counter()
-        res = run(problem.plan, problem.stage_cost)
-        float(np.asarray(res.values[0, 0]))
-        return time.perf_counter() - t0
-
-    timed_run()  # compile + warm
-    dt = min(timed_run() for _ in range(2))
-    evals_per_s = evals_per_sweep * sweeps / dt
-
-    base_stage = numpy_baseline_stage_seconds(cfg)
-    base_evals_per_s = evals_per_sweep / base_stage
-    vs_baseline = evals_per_s / base_evals_per_s
-
+    head = families.get("kirk", {})
+    value = head.get("evals_per_s", 0.0)
     print(json.dumps({
         "metric": "bellman_backups_per_s_per_chip",
-        "value": round(evals_per_s, 1),
+        "value": value,
         "unit": "state-action evals/s",
-        "vs_baseline": round(vs_baseline, 2),
-        "workload": "kirk dx=100 du=1000 N=200 (2e9 evals)",
-        "wall_s": round(dt, 4),
+        "vs_baseline": round(value / base_evals_per_s, 2) if value else 0.0,
+        "workload": head.get("workload", ""),
+        "wall_s": head.get("wall_s", 0.0),
         "baseline_evals_per_s": round(base_evals_per_s, 1),
+        "families": families,
         "device": str(jax.devices()[0]),
     }))
 

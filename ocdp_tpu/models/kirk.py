@@ -118,6 +118,12 @@ def solve(
         chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
         backup = build_stencil_backup(problem.plan, problem.stage_cost,
                                       action_chunk=chunk)
+    elif impl == "basegather":
+        from ..ops.basegather import build_basegather_backup
+
+        chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
+        backup = build_basegather_backup(problem.plan, problem.stage_cost,
+                                         action_chunk=chunk)
     elif impl == "pallas":
         from ..ops.pallas_lti import build_pallas_lti_backup
 
@@ -125,6 +131,18 @@ def solve(
         backup = build_pallas_lti_backup(config, u_chunk=chunk)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
+
+    if backup is not None and getattr(backup, "traced_argument", False):
+        # big off/frac/cost stacks ride as inputs, not compile constants
+        @partial(jax.jit, static_argnames=("num_sweeps", "store"))
+        def _solve_arg(plan, cost, bk, num_sweeps, store):
+            return value_iteration_finite(
+                plan, cost, num_sweeps, store_policies=store, backup=bk
+            )
+
+        result = _solve_arg(problem.plan, problem.stage_cost, backup,
+                            config.N - 1, store_policies)
+        return KirkSolution(problem, result)
 
     @partial(jax.jit, static_argnames=("num_sweeps", "store"))
     def _solve(plan, cost, num_sweeps, store):

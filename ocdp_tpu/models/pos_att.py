@@ -105,6 +105,22 @@ class PosAttConfig:
     def n_stage(self) -> int:
         return int(np.ceil(self.T_final / self.h))
 
+    @staticmethod
+    def high_res() -> "PosAttConfig":
+        """BASELINE.json config #5: high-resolution coupled grid.
+
+        60x60x40x30 = 4.32M cells x 9 combos per channel (16x the reference
+        parameterization, Solver_pos_att.m:100-119) — the single-chip
+        stress point for the coupled family; shard over a mesh
+        (parallel/sharded or halo) for multi-chip scaling. Closed-loop
+        rollout from arbitrary x0 via :func:`get_optimal_path` is the
+        receding-horizon evaluation (the converged infinite-horizon policy
+        is queried at every replanning instant, which IS receding-horizon
+        control for a stationary problem).
+        """
+        return PosAttConfig(n_mesh_x=60, n_mesh_v=60, n_mesh_t=40,
+                            n_mesh_w=30)
+
     @property
     def inertia_matrix(self) -> np.ndarray:
         d = self.inertia_diag

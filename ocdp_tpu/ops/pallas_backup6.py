@@ -281,12 +281,20 @@ class PallasBackup6D:
         e_frac = [next(it) for _ in range(nc)]
         c_row, c_lane = next(it), next(it)
         out_v, out_a = next(it), next(it)
-        a_scr = next(it)
+        a_scr, we_scr, bc_scr = next(it), next(it), next(it)
 
         T, NE = self.row_tile, self.NEp
         row0 = pl.multiple_of(pl.program_id(0) * T, T)
 
-        # per-axis lane tap weights, shared across actions and row shifts
+        # Every multi-use (T, NE) intermediate stages through VMEM SCRATCH:
+        # keeping them live as SSA values makes Mosaic's register allocator
+        # spill (measured: 66-133MB of spill slots at the flagship size —
+        # the compile-crash signature) while fori_loop + dynamic-roll
+        # variants hit pathological Mosaic compile times. Static unroll
+        # with scratch staging is the shape that both compiles (~90s) and
+        # runs.
+
+        # per-axis lane tap weights, shared across combos
         e_w = []
         for k in range(nc):
             ws = {}
@@ -296,16 +304,14 @@ class PallasBackup6D:
                     + jnp.where(off == t - 1, fr, 0.0)
             e_w.append(ws)
 
-        # lane-combo weight products, hoisted: they are row-shift-invariant
-        # (recomputing them per D was the #1 op-count sink)
-        we = []
-        for combo in self.lane_combos:
+        # we_scr[i] = lane-combo weight product (row-shift-invariant)
+        for i, combo in enumerate(self.lane_combos):
             w = None
             for k, t in enumerate(combo):
                 w = e_w[k][t] if w is None else w * e_w[k][t]
-            we.append(w)
+            we_scr[i, :, :] = w
 
-        # A_D = lane-interpolated value rows for each flat row shift
+        # a_scr[j] = lane-interpolated value rows for each flat row shift
         for j, drow in enumerate(self.row_deltas):
             shift = drow + self.pad_top
             aligned = (shift // 8) * 8
@@ -314,10 +320,10 @@ class PallasBackup6D:
             rows = pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
                 else sub[:T, :]
             acc = None
-            for w, dlane in zip(we, self.lane_deltas):
+            for i, dlane in enumerate(self.lane_deltas):
                 lane = pltpu.roll(rows, (-dlane) % NE, 1) \
                     if dlane % NE else rows
-                term = w * lane
+                term = we_scr[i, :, :] * lane
                 acc = term if acc is None else acc + term
             a_scr[j, :, :] = acc
 
@@ -332,7 +338,8 @@ class PallasBackup6D:
             w_w.append(ws)
 
         if self.action_digits and nr == 3:
-            best_v, best_a = self._action_phase_factorized(w_w, a_scr, T, NE)
+            best_v, best_a = self._action_phase_factorized(w_w, a_scr, bc_scr,
+                                                           T, NE)
         else:
             best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr)
         out_v[:, :] = best_v + c_row[...] + c_lane[0:1, :]
@@ -362,21 +369,43 @@ class PallasBackup6D:
                 best_a = jnp.where(better, jnp.int32(a), best_a)
         return best_v, best_a
 
-    def _action_phase_factorized(self, w_w, a_scr, T, NE):
-        """Digit-factorized contraction: axis k's weight depends only on
-        action digit k (C-order a = (a0*m + a1)*m + a2), so tap axes
-        contract one digit at a time — 3*m^3 + m^3-ish FMAs instead of
-        A * |row_combos| (243 vs 729 for the attitude 27-action set)."""
+    def _bc_layout(self):
+        """Scratch slot maps for the factorized action phase."""
         m = self.action_digits
-        jidx = {c: j for j, c in enumerate(self.row_combos)}
         t0s = sorted({c[0] for c in self.row_combos})
         t01s = sorted({c[:2] for c in self.row_combos})
+        b_slot = {}
+        for (t0, t1) in t01s:
+            for d2 in range(m):
+                b_slot[(t0, t1, d2)] = len(b_slot)
+        c_slot = {}
+        for t0 in t0s:
+            for d1 in range(m):
+                for d2 in range(m):
+                    c_slot[(t0, d1, d2)] = len(b_slot) + len(c_slot)
+        return t0s, t01s, b_slot, c_slot
+
+    @property
+    def bc_slots(self) -> int:
+        if not (self.action_digits and len(self.w_taps) == 3):
+            return 1
+        _, _, b_slot, c_slot = self._bc_layout()
+        return len(b_slot) + len(c_slot)
+
+    def _action_phase_factorized(self, w_w, a_scr, bc_scr, T, NE):
+        """Digit-factorized contraction: axis k's weight depends only on
+        action digit k (C-order a = (a0*m + a1)*m + a2), so tap axes
+        contract one digit at a time — ~3*m^3 FMAs instead of
+        A * |row_combos| (243 vs 729 for the attitude 27-action set).
+        Partial contractions stage through scratch (see we_scr note)."""
+        m = self.action_digits
+        jidx = {c: j for j, c in enumerate(self.row_combos)}
+        t0s, t01s, b_slot, c_slot = self._bc_layout()
 
         def col(k, t, digit):
             a = digit * m ** (2 - k)      # canonical action with digit k
             return w_w[k][t][:, a:a + 1]
 
-        B = {}
         for (t0, t1) in t01s:
             for d2 in range(m):
                 acc = None
@@ -386,19 +415,18 @@ class PallasBackup6D:
                         continue
                     term = col(2, t2, d2) * a_scr[j, :, :]
                     acc = term if acc is None else acc + term
-                B[(t0, t1, d2)] = acc
-        C = {}
+                bc_scr[b_slot[(t0, t1, d2)], :, :] = acc
         for t0 in t0s:
             for d1 in range(m):
                 for d2 in range(m):
                     acc = None
                     for t1 in self.w_taps[1]:
-                        b = B.get((t0, t1, d2))
-                        if b is None:
+                        s = b_slot.get((t0, t1, d2))
+                        if s is None:
                             continue
-                        term = col(1, t1, d1) * b
+                        term = col(1, t1, d1) * bc_scr[s, :, :]
                         acc = term if acc is None else acc + term
-                    C[(t0, d1, d2)] = acc
+                    bc_scr[c_slot[(t0, d1, d2)], :, :] = acc
         best_v = None
         best_a = None
         for a in range(self.n_actions):
@@ -406,10 +434,10 @@ class PallasBackup6D:
             d1, d2 = divmod(rem, m)
             tot = None
             for t0 in t0s:
-                c = C.get((t0, d1, d2))
-                if c is None:
+                s = c_slot.get((t0, d1, d2))
+                if s is None:
                     continue
-                term = col(0, t0, d0) * c
+                term = col(0, t0, d0) * bc_scr[s, :, :]
                 tot = term if tot is None else tot + term
             if self.c_act[a]:
                 tot = tot + self.c_act[a]
@@ -490,11 +518,13 @@ class PallasBackup6D:
             ],
             scratch_shapes=[
                 pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
+                pltpu.VMEM((len(self.lane_deltas), T, NE), jnp.float32),
+                pltpu.VMEM((self.bc_slots, T, NE), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                # Mosaic's default scoped-vmem budget is 16MB; the unrolled
-                # tap temporaries + the VMEM-resident table need more on
-                # v5e (128MB physical VMEM) at the 11^3x10^3 flagship size
+                # Mosaic's default scoped-vmem budget is 16MB; the resident
+                # table + the A/We/BC scratch stages need more on v5e
+                # (128MB physical VMEM) at the 11^3x10^3 flagship size
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
         )(v2, *args)

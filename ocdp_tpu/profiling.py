@@ -1,0 +1,73 @@
+"""Tracing/profiling hooks (SURVEY.md §5 tracing row).
+
+The reference wraps every backup stage and rollout in ``tic``/``toc`` prints
+(Dynamic_Solver.m:87,101; Solver_pos_att.m:271,278). The TPU equivalents:
+
+* :func:`trace` — context manager around ``jax.profiler.trace`` producing a
+  TensorBoard/XProf trace of everything inside (kernel timings, HBM traffic).
+* :class:`SweepTimer` — host-side sweeps/s counter for the segmented engine
+  (pass ``timer.on_segment`` to ``value_iteration_segmented``) or any
+  per-check callback (``timer.on_check`` for the converged engine), printing
+  the reference's per-stage line shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+__all__ = ["trace", "SweepTimer"]
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Profile everything inside the block to ``log_dir`` (XProf format)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class SweepTimer:
+    """Sweeps/s + per-check error printer.
+
+    >>> t = SweepTimer(verbose=True)
+    >>> value_iteration_segmented(..., on_segment=t.on_segment)
+    >>> t.sweeps_per_s
+    """
+
+    def __init__(self, verbose: bool = False):
+        self.verbose = verbose
+        self.t0 = time.perf_counter()
+        self.last_t = self.t0
+        self.last_sweep = 0
+        self.total_sweeps = 0
+
+    def on_segment(self, sweep_index: int, values) -> None:
+        now = time.perf_counter()
+        done = sweep_index - self.last_sweep
+        if self.verbose and done:
+            rate = done / max(now - self.last_t, 1e-9)
+            print(f"sweep {sweep_index} - {now - self.last_t:.3f} seconds "
+                  f"- {rate:.1f} sweeps/s")
+        self.last_t = now
+        self.last_sweep = sweep_index
+        self.total_sweeps = sweep_index
+
+    def on_check(self, k_s, err_f, err_u) -> None:
+        """Converged-engine check callback: the reference's
+        'stage %d - %f seconds - errorF %f - errorU %f' line
+        (Solver_pos_att.m:278)."""
+        now = time.perf_counter()
+        if self.verbose:
+            print(f"stage {int(k_s)} - {now - self.last_t:.6f} seconds - "
+                  f"errorF {float(err_f):.6f} - errorU {float(err_u):.6f}")
+        self.last_t = now
+
+    @property
+    def sweeps_per_s(self) -> float:
+        dt = max(self.last_t - self.t0, 1e-9)
+        return self.total_sweeps / dt

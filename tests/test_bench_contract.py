@@ -11,7 +11,7 @@ def test_bench_baseline_helper_runs():
     from ocdp_tpu.models import kirk
 
     cfg = kirk.KirkConfig(N=6, dx=12, du=10)
-    dt = bench_mod.numpy_baseline_stage_seconds(cfg, n_timed=1)
+    dt = bench_mod.numpy_baseline_stage_seconds(cfg, n_trials=1)
     assert dt > 0
 
 

@@ -61,3 +61,36 @@ def test_cli_solve_and_rollout_smoke(capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["problem"] == "kirk"
     assert abs(out["x_final"][0]) < 0.1 and abs(out["x_final"][1]) < 0.1
+
+
+def test_sweep_timer_counters():
+    """profiling.SweepTimer integrates with the segmented + converged
+    engines (the reference's per-stage toc prints, Dynamic_Solver.m:87)."""
+    from ocdp_tpu import value_iteration_converged, value_iteration_segmented
+    from ocdp_tpu.models import kirk
+    from ocdp_tpu.profiling import SweepTimer
+
+    p = kirk.build(kirk.KirkConfig(N=8, dx=12, du=10))
+    t = SweepTimer()
+    value_iteration_segmented(p.plan, p.stage_cost, 6, segment_size=2,
+                              on_segment=t.on_segment)
+    assert t.total_sweeps == 6
+    assert t.sweeps_per_s > 0
+
+    t2 = SweepTimer()
+    import jax
+
+    value_iteration_converged(p.plan, p.stage_cost, 6, check_every=2,
+                              tol=0.0, on_check=t2.on_check)
+    jax.effects_barrier()
+
+
+def test_pos_att_high_res_config_builds():
+    """BASELINE.json config #5: the high-res coupled grid is a first-class
+    named config; building its channel problem must work (solving it is a
+    TPU-scale job, exercised by bench/NOTES not CI)."""
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig.high_res()
+    problem = pos_att.build_channel(cfg, "x")
+    assert problem.plan.query_shape == (60, 60, 40, 30, 9)
