@@ -89,3 +89,62 @@ def test_ssu_mode_replays_fixed_stage_policy():
     X, U = kirk.optimal_path(sol, (1.0, -0.5), mode="ssu", ssu_num=0)
     assert np.all(np.isfinite(np.asarray(X)))
     assert np.asarray(U).shape == (cfg.N - 1,)
+
+
+def _np_bilinear(table, axes, x1, x2):
+    """Numpy twin of the rollout's linear policy interpolation (unclamped
+    frac = MATLAB griddedInterpolant extrapolation)."""
+    out = []
+    for ax, q in ((axes[0], x1), (axes[1], x2)):
+        g = np.asarray(ax, np.float64)
+        lo = int(np.clip(np.searchsorted(g, q, side="right") - 1, 0,
+                         len(g) - 2))
+        f = (q - g[lo]) / (g[lo + 1] - g[lo])
+        out.append((lo, f))
+    (l1, f1), (l2, f2) = out
+    t = np.asarray(table, np.float64)
+    return ((1 - f1) * (1 - f2) * t[l1, l2] + (1 - f1) * f2 * t[l1, l2 + 1]
+            + f1 * (1 - f2) * t[l1 + 1, l2] + f1 * f2 * t[l1 + 1, l2 + 1])
+
+
+def _oracle_rollout(sol, x0, tables):
+    """Exact numpy replication of kirk.optimal_path's scan."""
+    cfg = sol.problem.config
+    axes = sol.problem.grid.axes
+    A = np.asarray(cfg.A)
+    B = np.asarray(cfg.B)
+    x = np.asarray(x0, np.float64)
+    X, U = [x], []
+    for table in tables:
+        u = _np_bilinear(table, axes, x[0], x[1])
+        U.append(u)
+        x = A @ x + B * u
+        X.append(x)
+    return np.array(X), np.array(U)
+
+
+def test_rollout_matches_oracle_trajectory():
+    """Trajectory-level oracle check (not just 'didn't blow up'): the scan
+    rollout must equal a step-by-step numpy replay of policy interpolation
+    + exact LTI steps (test/Dynamic_Solver.m:126-145)."""
+    cfg = kirk.KirkConfig(N=20, dx=21, du=15)
+    sol = kirk.solve(cfg)
+    tables = np.asarray(sol.u_star, np.float64)
+    X, U = kirk.optimal_path(sol, (1.5, -0.75))
+    X_ref, U_ref = _oracle_rollout(sol, (1.5, -0.75), tables)
+    np.testing.assert_allclose(np.asarray(U), U_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ssu_rollout_matches_oracle():
+    """'ssu' mode must replay the FIXED stage-ssu_num table at every step
+    (test/Dynamic_Solver.m:127-131), verified against the numpy replay."""
+    cfg = kirk.KirkConfig(N=12, dx=15, du=21)
+    sol = kirk.solve(cfg)
+    k = 3
+    fixed = np.asarray(sol.u_star, np.float64)[k]
+    X, U = kirk.optimal_path(sol, (1.0, -0.5), mode="ssu", ssu_num=k)
+    X_ref, U_ref = _oracle_rollout(sol, (1.0, -0.5),
+                                   [fixed] * (cfg.N - 1))
+    np.testing.assert_allclose(np.asarray(U), U_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-4, atol=1e-4)

@@ -60,3 +60,29 @@ def test_rollout_regulates_toward_origin():
                    [-0.26, 0.0, 0.26]).all()
     # position error must shrink substantially from |x0|=0.4
     assert np.abs(X[-1, 0]) < 0.2
+
+
+def test_rollout_controls_match_policy_lookup():
+    """Trajectory-level oracle check: every applied control must equal a
+    numpy nearest-neighbor lookup of the solved table at the rolled state
+    (Solver_position.m:210-215 policy wiring), not merely lie in the
+    admissible set."""
+    cfg = position.PositionConfig(n_mesh_x=24, n_mesh_v=24, T_final=30.0)
+    sol = position.solve(cfg, num_sweeps=200)
+    T, X, U = position.get_optimal_path(
+        sol, (-0.3, 0.05, 0.02, 0.0, 0.0, 0.0), t_final=2.0)
+    X = np.asarray(X, np.float64)
+    U = np.asarray(U, np.float64)
+    tables = np.asarray(sol.u_tables, np.float64)
+    axes = [np.asarray(a, np.float64) for a in sol.problem.grid.axes[1:]]
+
+    def nearest(ax, q):
+        lo = int(np.clip(np.searchsorted(ax, q, side="right") - 1, 0,
+                         len(ax) - 2))
+        return lo + 1 if (q - ax[lo]) > (ax[lo + 1] - q) else lo
+
+    for k in range(U.shape[0]):
+        for c in range(3):
+            i = nearest(axes[0], X[k, c])
+            j = nearest(axes[1], X[k, 3 + c])
+            np.testing.assert_allclose(U[k, c], tables[c, i, j], atol=1e-5)
