@@ -261,6 +261,52 @@ def solve(
     return PosAttSolution(cfg, controllers)
 
 
+def solve_channel_sharded(
+    cfg: PosAttConfig,
+    channel: str,
+    mesh,
+    *,
+    failure: bool = False,
+    max_sweeps: Optional[int] = None,
+    axis_name: str = "s",
+    engine: str = "halo",
+) -> tuple[ChannelController, SolveResult]:
+    """One channel's early-stopping solve SHARDED over a device mesh — the
+    scaling path for :meth:`PosAttConfig.high_res` grids (BASELINE.json
+    configs #4/#5: the coupled grid "sharded across hosts").
+
+    ``engine='halo'`` keeps the value table sharded on the x axis and
+    ppermutes interpolation boundary slabs (the table is the HBM budget at
+    high resolution); ``'replicated'`` all_gathers the table each sweep.
+    Results equal the single-chip solve (values bitwise for 'replicated';
+    halo identical through the stencil backup).
+    """
+    problem = build_channel(cfg, channel, failure=failure)
+    sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
+    if engine == "halo":
+        from ..parallel.halo import value_iteration_converged_halo
+
+        result = value_iteration_converged_halo(
+            problem.plan, problem.stage_cost, sweeps, mesh,
+            check_every=cfg.check_every, tol=cfg.tol, axis_name=axis_name)
+    elif engine == "replicated":
+        from ..parallel.sharded import value_iteration_converged_sharded
+
+        result = value_iteration_converged_sharded(
+            problem.plan, problem.stage_cost, sweeps, mesh,
+            check_every=cfg.check_every, tol=cfg.tol,
+            state_axis_name=axis_name)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    ctrl = ChannelController(
+        axes=tuple(problem.grid.axes),
+        values=np.asarray(result.values),
+        argmin=np.asarray(result.argmin),
+        forces=problem.forces,
+    )
+    return ctrl, result
+
+
 def solve_ep(
     cfg: PosAttConfig = PosAttConfig(),
     mesh=None,

@@ -116,14 +116,18 @@ def shard_backup_inputs(
             spec[action_axis] = action_axis_name
         return arr, P(*spec)
 
-    lo, frac, specs = [], [], []
+    # NOTE: spec order must match the engines' flat argument order
+    # (all lo, then all frac, then cost) — interleaving lo/frac specs here
+    # mis-shards broadcast-shaped plans whose per-axis arrays differ.
+    lo, frac, lo_specs, fr_specs = [], [], [], []
     for l, f in zip(plan.lo, plan.frac):
         l2, sl = prep(l)
         f2, sf = prep(f)
         lo.append(l2)
         frac.append(f2)
-        specs.append(sl)
-        specs.append(sf)
+        lo_specs.append(sl)
+        fr_specs.append(sf)
+    specs = lo_specs + fr_specs
 
     # The argmin must never pick a padded action: pad the cost with +inf. If
     # the cost is broadcast along the action axis but padding is needed there,

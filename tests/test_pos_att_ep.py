@@ -56,3 +56,26 @@ def test_ep_failure_channel_action_padding():
     n_fail_actions = sol.controllers["x_failure"].forces.shape[0]
     assert n_fail_actions == 6
     assert sol.controllers["x_failure"].argmin.max() < n_fail_actions
+
+
+def test_sharded_channel_solve_matches_serial():
+    """solve_channel_sharded (halo + replicated engines) == the single-chip
+    early-stopping channel solve — the high-res scaling path of
+    BASELINE.json configs #4/#5."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = pos_att.PosAttConfig(n_mesh_x=16, n_mesh_v=8, n_mesh_t=6,
+                               n_mesh_w=5)
+    ref_ctrl, ref_res = pos_att.solve_channel(cfg, "x", max_sweeps=30)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("s",))
+    # halo shares the serial solve's stencil backup -> bitwise; replicated
+    # uses the gather backup -> f32 summation-order differences only
+    for engine, atol in (("halo", 0.0), ("replicated", 1e-4)):
+        ctrl, res = pos_att.solve_channel_sharded(cfg, "x", mesh,
+                                                  max_sweeps=30,
+                                                  engine=engine)
+        np.testing.assert_allclose(ctrl.values, ref_ctrl.values, atol=atol)
+        agree = (ctrl.argmin == ref_ctrl.argmin).mean()
+        assert agree > 0.999, engine
+        assert int(res.num_sweeps) == int(ref_res.num_sweeps)
