@@ -24,10 +24,11 @@ from .ops.interp import (
     interp_eval,
     nearest_eval,
 )
+from .ops.basegather import BaseGatherBackup, build_basegather_backup
 from .ops.stencil import StencilBackup, build_stencil_backup
 from .engine import value_iteration_segmented
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Grid",
@@ -41,7 +42,12 @@ __all__ = [
     "interp_eval",
     "BackupResult",
     "bellman_backup",
+    "StencilBackup",
+    "build_stencil_backup",
+    "BaseGatherBackup",
+    "build_basegather_backup",
     "SolveResult",
     "value_iteration_finite",
     "value_iteration_converged",
+    "value_iteration_segmented",
 ]

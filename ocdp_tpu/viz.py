@@ -26,6 +26,7 @@ import numpy as np  # noqa: E402
 __all__ = [
     "plot_policy_surface",
     "plot_policy_stages",
+    "animate_policy_surface",
     "plot_rollout",
     "plot_thruster_dashboard",
     "plot_forces_moments",
@@ -74,6 +75,46 @@ def plot_policy_stages(u_star, axes, *, stages=None, labels=("x1", "x2"),
         ax.set_xlabel(labels[0])
         ax.set_ylabel(labels[1])
     return _save(fig, path)
+
+
+def animate_policy_surface(u_star, axes, path, *, stages=None,
+                           labels=("x1", "x2"), fps=5):
+    """Animated GIF of the per-stage policy surface — the reference's
+    ``plot_u_star`` pause-loop (test/Dynamic_Solver.m:240-261) and the
+    test_simplified_20deg surface animation.
+
+    ``u_star``: (n_stages, n1, n2) stack; ``path`` must end in ``.gif``.
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    u = np.asarray(u_star)
+    if stages is None:
+        stages = range(u.shape[0])
+    stages = list(stages)
+    x, y = np.asarray(axes[0]), np.asarray(axes[1])
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    vmin, vmax = float(u[stages].min()), float(u[stages].max())
+    if vmax <= vmin:
+        vmin, vmax = vmin - 0.5, vmax + 0.5
+    fig = plt.figure(figsize=(7, 5))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def draw(i):
+        ax.clear()
+        k = stages[i]
+        ax.plot_surface(X, Y, u[k], cmap="viridis", linewidth=0,
+                        antialiased=False)
+        ax.set_zlim(vmin, vmax)
+        ax.set_xlabel(labels[0])
+        ax.set_ylabel(labels[1])
+        ax.set_zlabel("u*")
+        ax.set_title(f"optimal control table, stage {k}")
+        return ()
+
+    anim = FuncAnimation(fig, draw, frames=len(stages), blit=False)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
 
 
 def plot_rollout(T, X, U=None, *, state_labels=None, control_labels=None,

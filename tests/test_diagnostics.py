@@ -94,3 +94,16 @@ def test_pos_att_high_res_config_builds():
     cfg = pos_att.PosAttConfig.high_res()
     problem = pos_att.build_channel(cfg, "x")
     assert problem.plan.query_shape == (60, 60, 40, 30, 9)
+
+
+def test_animate_policy_surface_writes_gif(tmp_path):
+    from ocdp_tpu.models import kirk
+    from ocdp_tpu.viz import animate_policy_surface
+
+    sol = kirk.solve(kirk.KirkConfig(N=5, dx=9, du=7))
+    path = str(tmp_path / "u_star.gif")
+    animate_policy_surface(np.asarray(sol.u_star), sol.problem.grid.axes,
+                           path, stages=[0, 1, 2])
+    import os
+
+    assert os.path.getsize(path) > 1000
