@@ -91,3 +91,27 @@ def test_make_mesh_2d():
 
     mesh = make_mesh(("s", "a"), (4, 2), devices=jax.devices()[:8])
     assert mesh.shape == {"s": 4, "a": 2}
+
+
+def test_make_mesh_device_order_contract():
+    """Pin the layout claim in make_mesh's docstring: axes follow JAX device
+    order with the LAST mesh axis fastest-varying, so blocks of a state axis
+    placed last land on consecutive (ICI-adjacent on real topologies)
+    devices (parallel/multihost.py docstring; scaling-book mesh recipe)."""
+    from ocdp_tpu.parallel import make_mesh
+
+    devs = jax.devices()[:8]
+    ids = [d.id for d in devs]
+    # 1-D: device order preserved verbatim.
+    mesh1 = make_mesh(("s",), devices=devs)
+    assert [d.id for d in mesh1.devices.ravel()] == ids
+
+    # 2-D ("h", "s"): along the trailing state axis (fixed h) ids are
+    # consecutive; along the leading host axis (fixed s) they stride by
+    # the state-axis size.
+    mesh = make_mesh(("h", "s"), (2, 4), devices=devs)
+    grid = np.vectorize(lambda d: d.id)(mesh.devices)
+    for h in range(2):
+        row = grid[h, :]
+        assert list(np.diff(row)) == [1, 1, 1], row
+    assert list(grid[1, :] - grid[0, :]) == [4, 4, 4, 4]
