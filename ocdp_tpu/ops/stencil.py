@@ -25,10 +25,15 @@ XLA computation):
   residual band stays narrow; running (min, argmin) combine across chunks by
   strict ``<``, preserving MATLAB first-minimum tie-breaking.
 * **State blocking** (``state_blocks``): the output grid is swept in blocks
-  along state axis 0 — the on-chip tiling that keeps the fused stencil
-  tree's intermediates bounded for big grids (the 6-D attitude problem OOMs
-  a v5e without it). The value table itself stays whole (any block may read
-  any of it after a large control shift).
+  — an int blocks state axis 0, a tuple blocks any subset of state axes.
+  Two distinct wins: (a) on-chip tiling that keeps the fused stencil tree's
+  intermediates bounded for big grids (the 6-D attitude problem OOMs a v5e
+  without it), and (b) **band narrowing** — each (block, chunk) gets its
+  own integer base, so query-offset drift *across* blocks (Kirk's x2
+  queries drift with both x1 and x2, inflating the global band to 47 taps)
+  is absorbed by the base and the residual band only spans the within-block
+  drift. The value table itself stays whole (any block may read any of it
+  after a large control shift).
 
 All band/base analysis happens once on the host at build time; per-sweep
 work is elementwise f32 on the VPU plus static/dynamic slices. Tap values
@@ -57,15 +62,29 @@ def _chunk_axis(arr: np.ndarray, n_chunks: int, chunk: int) -> np.ndarray:
     return np.moveaxis(out, -2, 0)
 
 
-def _block_axis0(arr: np.ndarray, n_blocks: int) -> np.ndarray:
-    """(C, n0, rest...) -> (B, C, n0/B, rest...); broadcast singleton n0."""
-    if n_blocks == 1:
-        return arr[None]
-    n0 = arr.shape[1]
-    if n0 == 1:
-        return np.broadcast_to(arr[None], (n_blocks,) + arr.shape)
-    out = arr.reshape(arr.shape[:1] + (n_blocks, n0 // n_blocks) + arr.shape[2:])
-    return np.moveaxis(out, 1, 0)
+def _block_axes(arr: np.ndarray, nbs: tuple[int, ...]) -> np.ndarray:
+    """(C, s0..s_{d-1}, tail...) -> (B, C, bs0..bs_{d-1}, tail...).
+
+    ``nbs[k]`` blocks state axis k into that many pieces; B = prod(nbs) in
+    C-order over block coordinates. Broadcast-singleton state axes stay
+    singleton inside a block and replicate across that axis's blocks —
+    every block sees the same (shared) slice.
+    """
+    d = len(nbs)
+    state = arr.shape[1:1 + d]
+    tail = arr.shape[1 + d:]
+    newshape = [arr.shape[0]]
+    for n, nb in zip(state, nbs):
+        newshape += ([1, 1] if n == 1 else [nb, n // nb])
+    r = arr.reshape(newshape + list(tail))
+    # block axes sit at 1, 3, 5, ...; gather them in front of C
+    perm = ([1 + 2 * k for k in range(d)] + [0]
+            + [2 + 2 * k for k in range(d)]
+            + list(range(1 + 2 * d, r.ndim)))
+    r = np.transpose(r, perm)
+    full = tuple(nbs) + r.shape[d:]
+    r = np.broadcast_to(r, full)
+    return r.reshape((int(np.prod(nbs)),) + r.shape[d:])
 
 
 @jax.tree_util.register_dataclass
@@ -88,7 +107,7 @@ class StencilBackup:
     # weight recomputation; costs HBM for the dense stacks.
     weights: tuple[tuple[jax.Array, ...], ...]
     base: jax.Array                  # (B, C, d) int32 per-(block, chunk) slice base
-    block_starts: jax.Array          # (B,) int32 axis-0 output offsets
+    block_starts: jax.Array          # (B, d) int32 per-axis output offsets
     cost_blocked: tuple[jax.Array, ...]  # terms with (B, C) leading axes
     cost_static: tuple[jax.Array, ...]   # fully broadcast terms (no B/C)
     # static metadata
@@ -113,6 +132,10 @@ class StencilBackup:
     # extrapolation from inflating the band (Kirk axis 1: 47 -> ~22 taps).
     edge_taps: tuple[tuple[bool, bool], ...] = dataclasses.field(
         default=(), metadata=dict(static=True))
+    # blocks per state axis (multi-axis state blocking). () means axis-0-only
+    # legacy blocking with B = block_starts.shape[0] blocks.
+    n_blocks_per_axis: tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     def block_sweep(self, v_pad: jax.Array, xs):
         """One output block's fused min/argmin sweep against ``v_pad``.
@@ -120,7 +143,8 @@ class StencilBackup:
         ``v_pad`` is the value table padded by ``self.pad`` (in the halo
         engine the axis-0 padding is neighbor-exchanged halo slabs instead).
         ``xs = (b_start, offs, fracs, weights, costs, base)`` with the
-        leading (B,) axis already stripped.
+        leading (B,) axis already stripped; ``b_start`` is the (d,) vector
+        of this block's per-axis output origins.
         """
         d = len(self.grid_shape)
         b_start, offs_b, fracs_b, weights_b, costs_b, base_b = xs
@@ -195,9 +219,7 @@ class StencilBackup:
                 lo_t = self.taps[k][0]
                 acc = None
                 for t in self.valid_taps[k]:
-                    start_k = base[k] + (t - lo_t)
-                    if k == 0:
-                        start_k = start_k + b_start
+                    start_k = base[k] + (t - lo_t) + b_start[k]
                     term = wstacks[k][t] * rec(
                         k + 1, starts + (start_k,),
                         sizes + (self.block_shape[k],))
@@ -241,7 +263,9 @@ class StencilBackup:
         d = len(self.grid_shape)
         L = int(np.prod(self.block_shape))
         full = self.block_shape + (self.chunk,)
-        s0 = self.flat_pad[0] + b_start * self.strides[0]
+        s0 = self.flat_pad[0]
+        for k in range(d):
+            s0 = s0 + b_start[k] * self.strides[k]
 
         def rec(k, flat_off):
             if k == d:
@@ -278,9 +302,18 @@ class StencilBackup:
                                           jax.tree.map(lambda a: a[0], xs))
         else:
             vals, args = jax.lax.map(lambda x: self.block_sweep(v_pad, x), xs)
-            vals = vals.reshape(self.state_shape)
-            args = args.reshape(self.state_shape)
+            vals = self._unblock(vals)
+            args = self._unblock(args)
         return BackupResult(vals, args)
+
+    def _unblock(self, x: jax.Array) -> jax.Array:
+        """(B,) + block_shape -> state_shape, undoing _block_axes' layout."""
+        d = len(self.state_shape)
+        nbs = self.n_blocks_per_axis or \
+            (self.block_starts.shape[0],) + (1,) * (d - 1)
+        x = x.reshape(nbs + self.block_shape)
+        perm = [i for k in range(d) for i in (k, d + k)]
+        return jnp.transpose(x, perm).reshape(self.state_shape)
 
 
 def build_stencil_backup(
@@ -288,7 +321,7 @@ def build_stencil_backup(
     stage_cost,
     *,
     action_chunk: Optional[int] = None,
-    state_blocks: int = 1,
+    state_blocks: int | tuple[int, ...] = 1,
     max_taps_per_axis: int = 64,
     weight_mode: str = "onthefly",
     rolled: bool = False,
@@ -298,9 +331,15 @@ def build_stencil_backup(
 
     Host-side, once per problem. ``stage_cost`` may be one array or a
     sequence of broadcast-shaped terms (factorized costs never materialize
-    the S x A tensor). ``state_blocks`` splits state axis 0 of the OUTPUT
-    into that many serially-swept blocks (must divide its length). Raises if
-    any axis needs more than ``max_taps_per_axis`` residual taps.
+    the S x A tensor). ``state_blocks`` splits the OUTPUT grid into
+    serially-swept blocks: an int blocks state axis 0 only (the halo
+    engine's contract); a tuple gives blocks per state axis (each must
+    divide its axis). Multi-axis blocking matters when query offsets drift
+    with the state along SEVERAL axes (Kirk's x2 queries drift with both x1
+    and x2): the per-(block, chunk) integer base absorbs the between-block
+    drift on every blocked axis, so the residual band only covers the
+    within-block spread. Raises if any axis needs more than
+    ``max_taps_per_axis`` residual taps.
 
     ``weight_mode``: "onthefly" recomputes tap weights from (off, frac) each
     sweep (minimal memory; fastest when the operator is closed over so XLA
@@ -332,12 +371,24 @@ def build_stencil_backup(
     if n_actions % action_chunk:
         raise ValueError(
             f"action axis {n_actions} not divisible by chunk {action_chunk}")
-    if state_shape[0] % state_blocks:
-        raise ValueError(
-            f"state axis 0 ({state_shape[0]}) not divisible by "
-            f"state_blocks={state_blocks}")
+    if isinstance(state_blocks, int):
+        nbs = (state_blocks,) + (1,) * (d - 1)
+    else:
+        nbs = tuple(int(b) for b in state_blocks)
+        if len(nbs) != d:
+            raise ValueError(
+                f"state_blocks tuple has {len(nbs)} entries for {d} state axes")
+    for k in range(d):
+        if state_shape[k] % nbs[k]:
+            raise ValueError(
+                f"state axis {k} ({state_shape[k]}) not divisible by "
+                f"state_blocks[{k}]={nbs[k]}")
+    if rolled and any(nb > 1 for nb in nbs[1:]):
+        raise ValueError("rolled mode slices contiguous flat blocks; only "
+                         "axis-0 blocking is contiguous in the flat view")
+    n_blocks = int(np.prod(nbs))
     n_chunks = n_actions // action_chunk
-    block_shape = (state_shape[0] // state_blocks,) + tuple(state_shape[1:])
+    block_shape = tuple(s // nb for s, nb in zip(state_shape, nbs))
 
     lo_np = [np.asarray(l) for l in plan.lo]
     fr_np = [np.asarray(f).astype(np.float32) for f in plan.frac]
@@ -357,7 +408,7 @@ def build_stencil_backup(
             idx = np.arange(lo.shape[k], dtype=np.int64).reshape(idx_shape)
         off = lo.astype(np.int64) - idx          # true tap offset per query
 
-        # chunk the action axis, block state axis 0, then absorb whatever
+        # chunk the action axis, block the state axes, then absorb whatever
         # drift varies per (block, chunk) into an integer base shift — the
         # residual band (= tap count = leaf work) only has to cover the
         # WITHIN-tile spread (e.g. Kirk's a21*x1 drift of the x2 queries
@@ -366,7 +417,7 @@ def build_stencil_backup(
             off_c = _chunk_axis(off, n_chunks, action_chunk)  # (C, ..., chunk)
         else:
             off_c = np.broadcast_to(off[None], (n_chunks,) + off.shape)
-        off_bc = _block_axis0(off_c, state_blocks)            # (B, C, ...)
+        off_bc = _block_axes(off_c, nbs)                      # (B, C, ...)
 
         # edge-split: band/base statistics ignore extrapolating queries
         # (frac outside [0,1] -> lo clamped at a grid edge) — those are
@@ -376,7 +427,7 @@ def build_stencil_backup(
             fr_c = (np.broadcast_to(fr[None], (n_chunks,) + fr.shape)
                     if fr.shape[-1] == 1
                     else _chunk_axis(fr, n_chunks, action_chunk))
-            fr_bc = _block_axis0(fr_c, state_blocks)
+            fr_bc = _block_axes(fr_c, nbs)
             off_m, fr_m = np.broadcast_arrays(off_bc, fr_bc)
             interior = (fr_m >= 0.0) & (fr_m <= 1.0)
             edge_flags.append((bool(np.any(fr_m < 0.0)),
@@ -403,8 +454,8 @@ def build_stencil_backup(
             base_k = ((bmin + bmax) // 2).astype(np.int64)    # (B, C)
             res = off_bc - base_k.reshape(base_k.shape + (1,) * (off_bc.ndim - 2))
         else:
-            base_k = np.zeros((state_blocks, n_chunks), np.int64)
-            res = np.broadcast_to(off_bc, (state_blocks, n_chunks) + off.shape)
+            base_k = np.zeros((n_blocks, n_chunks), np.int64)
+            res = off_bc
 
         if edge_split and interior is not None:
             res_m = np.broadcast_to(res, interior.shape)
@@ -441,7 +492,7 @@ def build_stencil_backup(
             f_ch = _chunk_axis(f, n_chunks, action_chunk)
         else:
             f_ch = np.broadcast_to(f[None], (n_chunks,) + f.shape)
-        f_ch = _block_axis0(f_ch, state_blocks)  # (B, C, ...)
+        f_ch = _block_axes(f_ch, nbs)  # (B, C, ...)
         fr_c.append(f_ch)
         # prune taps with identically-zero weight: tap t is live iff some
         # query has (off == t, weight 1-frac != 0) or (off == t-1, frac != 0)
@@ -471,7 +522,7 @@ def build_stencil_backup(
         if t.ndim != len(q_shape):
             t = t.reshape((1,) * (len(q_shape) - t.ndim) + t.shape)
         action_dep = t.shape[-1] > 1
-        block_dep = state_blocks > 1 and t.shape[0] > 1
+        block_dep = any(nb > 1 and t.shape[k] > 1 for k, nb in enumerate(nbs))
         if not action_dep and not block_dep:
             cost_static.append(jnp.asarray(t))
             continue
@@ -483,7 +534,7 @@ def build_stencil_backup(
         else:
             t_c = np.broadcast_to(t[None], (n_chunks,) + t.shape)
         cost_blocked.append(jnp.asarray(np.ascontiguousarray(
-            _block_axis0(t_c, state_blocks))))
+            _block_axes(t_c, nbs))))
 
     off_j, fr_j, w_j = [], [], []
     if weight_mode == "precomputed":
@@ -503,8 +554,11 @@ def build_stencil_backup(
     else:
         raise ValueError(f"unknown weight_mode {weight_mode!r}")
 
+    # (B, d) per-axis output origin of each block, C-order block coordinates
+    # (matching _block_axes' flattening of the block axes)
+    coords = np.stack(np.unravel_index(np.arange(n_blocks), nbs), axis=1)
     block_starts = jnp.asarray(
-        np.arange(state_blocks, dtype=np.int32) * (state_shape[0] // state_blocks))
+        coords.astype(np.int32) * np.asarray(block_shape, np.int32))
 
     strides = [1] * d
     for k in range(d - 2, -1, -1):
@@ -532,4 +586,5 @@ def build_stencil_backup(
         strides=tuple(strides),
         flat_pad=flat_pad,
         edge_taps=tuple(edge_flags) if edge_split else (),
+        n_blocks_per_axis=nbs,
     )

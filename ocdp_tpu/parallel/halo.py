@@ -99,7 +99,7 @@ def value_iteration_finite_halo(
         # shard_map hands each device its (1, C, ...) slice; strip B axis.
         local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs, base))
         # slice starts are relative to the local padded table, so b_start=0
-        xs = (jnp.asarray(0, jnp.int32),) + local
+        xs = (jnp.zeros((state_ndim,), jnp.int32),) + local
 
         pdt = policy_dtype_for(sb.n_actions)
 
@@ -189,7 +189,7 @@ def value_iteration_converged_halo(
 
     def run(v_blk, offs, fracs, weights, costs, base):
         local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs, base))
-        xs = (jnp.asarray(0, jnp.int32),) + local
+        xs = (jnp.zeros((state_ndim,), jnp.int32),) + local
 
         def cond(carry):
             k_s, converged = carry[2], carry[4]

@@ -39,6 +39,54 @@ def test_blocked_matches_gather_with_factorized_cost():
     assert mism.mean() < 0.002
 
 
+@pytest.mark.parametrize("blocks", [(2, 2), (1, 4), (5, 5), (4, 1)])
+def test_multiaxis_blocked_matches_unblocked(blocks):
+    """Blocking BOTH state axes: parity + the band must shrink.
+
+    Values are ULP-tolerant, not bitwise: XLA CPU contracts mul+add into
+    FMA differently depending on the block shapes it vectorizes over
+    (measured <= 4.8e-7 abs on this workload; the real TPU is bitwise).
+    Argmin must agree exactly — the ULP drift never crosses a tie here.
+    """
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    v = jnp.asarray(np.random.default_rng(5).normal(size=(20, 20)), jnp.float32)
+    ref = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10)(v)
+    sb = build_stencil_backup(problem.plan, problem.stage_cost,
+                              action_chunk=10, state_blocks=blocks)
+    got = sb(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got.argmin), np.asarray(ref.argmin))
+    if blocks == (5, 5):
+        # per-(block, chunk) bases absorb cross-axis drift: the residual
+        # band must be narrower than the unblocked one on the drifting axis
+        sb0 = build_stencil_backup(problem.plan, problem.stage_cost,
+                                   action_chunk=10)
+        assert sum(len(t) for t in sb.valid_taps) < \
+            sum(len(t) for t in sb0.valid_taps)
+
+
+def test_multiaxis_blocked_edge_split_matches_gather():
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    v = jnp.asarray(np.random.default_rng(6).normal(size=(20, 20)), jnp.float32)
+    ref = bellman_backup(v, problem.plan, problem.stage_cost)
+    got = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, state_blocks=(4, 4),
+                               edge_split=True)(v)
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               rtol=3e-6, atol=3e-6)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.998
+
+
+def test_multiaxis_rolled_rejected():
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
+    with pytest.raises(ValueError, match="contiguous"):
+        build_stencil_backup(problem.plan, problem.stage_cost,
+                             action_chunk=10, rolled=True,
+                             state_blocks=(2, 2))
+
+
 @pytest.mark.parametrize("blocks", [1, 4])
 def test_rolled_flat_mode_matches_unrolled(blocks):
     problem = kirk.build(kirk.KirkConfig(N=10, dx=20, du=50))
