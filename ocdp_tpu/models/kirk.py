@@ -124,6 +124,23 @@ def solve(
         chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
         backup = build_basegather_backup(problem.plan, problem.stage_cost,
                                          action_chunk=chunk)
+    elif impl == "sheargather":
+        from ..ops.sheargather import build_sheargather_backup
+
+        # smaller chunks than the stencil's: the shear band must cover
+        # WITHIN-chunk action drift (inter-chunk drift rides the window).
+        # Coarser grids drift more cells per control step, so walk down
+        # until the band fits (golden 35x35x100 needs chunk<=10).
+        chunk = config.du if config.du <= 20 else _largest_divisor_leq(config.du, 20)
+        while True:
+            try:
+                backup = build_sheargather_backup(
+                    problem.plan, problem.stage_cost, action_chunk=chunk)
+                break
+            except ValueError:
+                if chunk == 1:
+                    raise
+                chunk = _largest_divisor_leq(config.du, chunk // 2)
     elif impl == "pallas":
         from ..ops.pallas_lti import build_pallas_lti_backup
 

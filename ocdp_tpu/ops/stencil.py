@@ -136,6 +136,24 @@ class StencilBackup:
     # legacy blocking with B = block_starts.shape[0] blocks.
     n_blocks_per_axis: tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True))
+    # sweep blocks as unrolled Python loop instead of lax.map: all blocks
+    # fuse into one XLA computation (no per-block while-loop overhead, XLA
+    # may interleave them) at the price of B x larger HLO. The narrow-band
+    # win of blocking only pays on TPU this way — lax.map's ~60us/iter
+    # dwarfs a small block's compute.
+    unroll_blocks: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    # select-then-lerp tap combine: one compare + two selects per tap and a
+    # single lerp per axis, instead of the per-tap weight formula that
+    # XLA's fusion re-evaluates inside every consumer leaf — fewer VPU ops
+    # at wide bands. Mathematically identical (zeros add exactly), but NOT
+    # bitwise-stable across program shapes: the two muls feeding one add
+    # give the compiler a choice of which to contract into an FMA, and the
+    # choice varies between e.g. blocked and unblocked builds (observed
+    # ~1-ulp diffs halo vs single-chip). Default off — the sharded/halo
+    # engines' bitwise==single-chip contract relies on the default form.
+    lerp_select: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     def block_sweep(self, v_pad: jax.Array, xs):
         """One output block's fused min/argmin sweep against ``v_pad``.
@@ -152,90 +170,8 @@ class StencilBackup:
         def chunk_step(carry, cxs):
             best_v, best_a, a_offset = carry
             (offs, fracs, weights, costs), base = cxs
-
-            if self.rolled:
-                total = self._rolled_interp(v_pad, b_start, offs, fracs, base)
-                for term in costs:
-                    total = total + term
-                for term in self.cost_static:
-                    total = total + term
-                total = jnp.broadcast_to(total,
-                                         self.block_shape + (self.chunk,))
-                m = jnp.min(total, axis=-1)
-                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
-                better = m < best_v
-                return (jnp.where(better, m, best_v),
-                        jnp.where(better, a, best_a),
-                        a_offset + self.chunk), None
-
-            split = bool(self.edge_taps) and any(
-                lo or hi for lo, hi in self.edge_taps)
-            wstacks = []
-            for k in range(d):
-                ws = {}
-                if self.weights:
-                    for i, t in enumerate(self.valid_taps[k]):
-                        ws[t] = weights[k][i]
-                elif split:
-                    # interior taps must not double-count extrapolating
-                    # queries (their clamped offsets can alias band values)
-                    f = fracs[k]
-                    inm = (f >= 0.0) & (f <= 1.0)
-                    for t in self.valid_taps[k]:
-                        ws[t] = jnp.where(inm & (offs[k] == t), 1.0 - f, 0.0) \
-                            + jnp.where(inm & (offs[k] == t - 1), f, 0.0)
-                else:
-                    for t in self.valid_taps[k]:
-                        ws[t] = jnp.where(offs[k] == t, 1.0 - fracs[k], 0.0) \
-                            + jnp.where(offs[k] == t - 1, fracs[k], 0.0)
-                wstacks.append(ws)
-
-            # fixed-index edge-tap weights (extrapolating queries only)
-            edge_terms = [()] * d
-            if split:
-                for k in range(d):
-                    has_lo, has_hi = self.edge_taps[k]
-                    f = fracs[k]
-                    n_k = self.grid_shape[k]
-                    p_lo = self.pad[k][0]
-                    terms_k = []
-                    if has_lo:
-                        elow = f < 0.0
-                        terms_k.append((jnp.where(elow, 1.0 - f, 0.0), p_lo))
-                        terms_k.append((jnp.where(elow, f, 0.0), p_lo + 1))
-                    if has_hi:
-                        ehigh = f > 1.0
-                        terms_k.append((jnp.where(ehigh, 1.0 - f, 0.0),
-                                        p_lo + n_k - 2))
-                        terms_k.append((jnp.where(ehigh, f, 0.0),
-                                        p_lo + n_k - 1))
-                    edge_terms[k] = tuple(terms_k)
-
-            def rec(k, starts, sizes):
-                if k == d:
-                    leaf = jax.lax.dynamic_slice(v_pad, starts, tuple(sizes))
-                    leaf = jnp.broadcast_to(leaf, self.block_shape)
-                    return leaf[..., None]
-                lo_t = self.taps[k][0]
-                acc = None
-                for t in self.valid_taps[k]:
-                    start_k = base[k] + (t - lo_t) + b_start[k]
-                    term = wstacks[k][t] * rec(
-                        k + 1, starts + (start_k,),
-                        sizes + (self.block_shape[k],))
-                    acc = term if acc is None else acc + term
-                for w, abs_start in edge_terms[k]:
-                    # fixed absolute index: size-1 slice, broadcast over axis k
-                    term = w * rec(k + 1, starts + (abs_start,), sizes + (1,))
-                    acc = term if acc is None else acc + term
-                return acc
-
-            total = rec(0, (), ())
-            for term in costs:
-                total = total + term
-            for term in self.cost_static:
-                total = total + term
-            total = jnp.broadcast_to(total, self.block_shape + (self.chunk,))
+            total = self._chunk_total(v_pad, b_start, offs, fracs, weights,
+                                      costs, base)
             m = jnp.min(total, axis=-1)
             a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
             better = m < best_v  # strict: earlier chunk wins ties
@@ -250,6 +186,154 @@ class StencilBackup:
             chunk_step, init,
             ((offs_b, fracs_b, weights_b, costs_b), base_b))
         return vals, args
+
+    def _chunk_total(self, v_pad, b_start, offs, fracs, weights, costs, base):
+        """One (block, chunk) tile's cost-plus-interpolated-value tensor,
+        shape ``block_shape + (chunk,)`` — the argument of the Bellman min."""
+        d = len(self.grid_shape)
+        if self.rolled:
+            total = self._rolled_interp(v_pad, b_start, offs, fracs, base)
+            for term in costs:
+                total = total + term
+            for term in self.cost_static:
+                total = total + term
+            return jnp.broadcast_to(total,
+                                    self.block_shape + (self.chunk,))
+
+        split = bool(self.edge_taps) and any(
+            lo or hi for lo, hi in self.edge_taps)
+        wstacks = []
+        if self.weights:
+            for k in range(d):
+                ws = {}
+                for i, t in enumerate(self.valid_taps[k]):
+                    ws[t] = weights[k][i]
+                wstacks.append(ws)
+        inms = [None] * d
+        if split:
+            for k in range(d):
+                f = fracs[k]
+                inms[k] = (f >= 0.0) & (f <= 1.0)
+
+        # fixed-index edge-tap weights (extrapolating queries only)
+        edge_terms = [()] * d
+        if split:
+            for k in range(d):
+                has_lo, has_hi = self.edge_taps[k]
+                f = fracs[k]
+                terms_k = []
+                if has_lo:
+                    elow = f < 0.0
+                    terms_k.append((jnp.where(elow, 1.0 - f, 0.0), "lo", 0))
+                    terms_k.append((jnp.where(elow, f, 0.0), "lo", 1))
+                if has_hi:
+                    ehigh = f > 1.0
+                    terms_k.append((jnp.where(ehigh, 1.0 - f, 0.0), "hi", 0))
+                    terms_k.append((jnp.where(ehigh, f, 0.0), "hi", 1))
+                edge_terms[k] = tuple(terms_k)
+
+        # ONE dynamic-start window slice per (chunk, axis-kind combination);
+        # every tap leaf is then a STATIC slice of a window. This is the
+        # load-bearing structural choice on TPU: per-leaf dynamic_slice ops
+        # don't fuse (measured ~1us each — sweep time tracked the dynamic-
+        # slice count across every blocking/edge-split variant, not the
+        # FLOPs), while static slices of one window fuse into the stencil
+        # arithmetic. Window kinds per axis: 'b' = the banded reach
+        # (block + tap span), 'lo'/'hi' = the 2-row fixed edge windows.
+        wcache: dict = {}
+
+        def get_window(kinds):
+            if kinds not in wcache:
+                starts, sizes = [], []
+                for k, kind in enumerate(kinds):
+                    t_lo, t_hi = self.taps[k]
+                    if kind == "b":
+                        starts.append(base[k] + b_start[k])
+                        sizes.append(self.block_shape[k] + t_hi + 1 - t_lo)
+                    elif kind == "lo":
+                        starts.append(self.pad[k][0])
+                        sizes.append(2)
+                    else:
+                        starts.append(self.pad[k][0] + self.grid_shape[k] - 2)
+                        sizes.append(2)
+                wcache[kinds] = jax.lax.dynamic_slice(
+                    v_pad, tuple(starts), tuple(sizes))
+            return wcache[kinds]
+
+        def leaf_slice(kinds, offsets):
+            w = get_window(kinds)
+            lims, sizes = [], []
+            for k, (kind, off) in enumerate(zip(kinds, offsets)):
+                n = self.block_shape[k] if kind == "b" else 1
+                lims.append(off + n)
+                sizes.append(n)
+            leaf = jax.lax.slice(w, offsets, tuple(lims))
+            leaf = jnp.broadcast_to(leaf, self.block_shape)
+            return leaf[..., None]
+
+        def rec(k, kinds, offsets):
+            if k == d:
+                return leaf_slice(kinds, offsets)
+            lo_t = self.taps[k][0]
+            if self.weights:
+                acc = None
+                for t in self.valid_taps[k]:
+                    term = wstacks[k][t] * rec(
+                        k + 1, kinds + ("b",), offsets + (t - lo_t,))
+                    acc = term if acc is None else acc + term
+            elif self.lerp_select:
+                # see the ``lerp_select`` field comment: fewer ops, but
+                # FMA-contraction choices make it ~1-ulp unstable across
+                # program shapes — opt-in for perf paths only.
+                sel_a = sel_b = None
+                m_prev, t_prev = None, None
+                for t in self.valid_taps[k]:
+                    r_t = rec(k + 1, kinds + ("b",), offsets + (t - lo_t,))
+                    m = offs[k] == t
+                    term = jnp.where(m, r_t, 0.0)
+                    sel_a = term if sel_a is None else sel_a + term
+                    mb = m_prev if t_prev == t - 1 else (offs[k] == t - 1)
+                    term = jnp.where(mb, r_t, 0.0)
+                    sel_b = term if sel_b is None else sel_b + term
+                    m_prev, t_prev = m, t
+                if sel_a is None:       # axis fully served by edge taps
+                    acc = None
+                else:
+                    f = fracs[k]
+                    acc = (1.0 - f) * sel_a + f * sel_b
+                    if inms[k] is not None:
+                        acc = jnp.where(inms[k], acc, 0.0)
+            else:
+                # default: per-tap weights w_t = [off==t](1-f)+[off==t-1]f
+                # multiplied against each tap leaf and summed in tap order.
+                # Zeros add exactly and each term is its own mul->add, so
+                # the result is reproducible across blocked/sharded and
+                # single-chip builds (the bitwise parity contract).
+                acc = None
+                f = fracs[k]
+                for t in self.valid_taps[k]:
+                    if inms[k] is not None:
+                        w_t = jnp.where(inms[k] & (offs[k] == t), 1.0 - f,
+                                        0.0) \
+                            + jnp.where(inms[k] & (offs[k] == t - 1), f, 0.0)
+                    else:
+                        w_t = jnp.where(offs[k] == t, 1.0 - f, 0.0) \
+                            + jnp.where(offs[k] == t - 1, f, 0.0)
+                    term = w_t * rec(k + 1, kinds + ("b",),
+                                     offsets + (t - lo_t,))
+                    acc = term if acc is None else acc + term
+            for w, kind, idx in edge_terms[k]:
+                # fixed edge window: size-1 slice, broadcast over axis k
+                term = w * rec(k + 1, kinds + (kind,), offsets + (idx,))
+                acc = term if acc is None else acc + term
+            return acc
+
+        total = rec(0, (), ())
+        for term in costs:
+            total = total + term
+        for term in self.cost_static:
+            total = total + term
+        return jnp.broadcast_to(total, self.block_shape + (self.chunk,))
 
     def _rolled_interp(self, v_flat, b_start, offs, fracs, base):
         """Interpolation via nested tap scans over the FLAT table.
@@ -301,10 +385,53 @@ class StencilBackup:
             vals, args = self.block_sweep(v_pad,
                                           jax.tree.map(lambda a: a[0], xs))
         else:
-            vals, args = jax.lax.map(lambda x: self.block_sweep(v_pad, x), xs)
+            if self.unroll_blocks:
+                vals, args = self._sweep_unrolled(v_pad, xs)
+            else:
+                vals, args = jax.lax.map(
+                    lambda x: self.block_sweep(v_pad, x), xs)
             vals = self._unblock(vals)
             args = self._unblock(args)
         return BackupResult(vals, args)
+
+    def _sweep_unrolled(self, v_pad, xs):
+        """All blocks unrolled INSIDE one scan over action chunks.
+
+        The loop nesting matters on TPU: per-block chunk scans (or a
+        ``lax.map`` over blocks) pay the while-loop iteration overhead once
+        per (block, chunk) pair with only a small block's compute inside —
+        measured ~3x slower than unblocked despite 2.4x fewer VPU ops. Here
+        one scan body does every block's tile, so overhead amortizes over
+        B x the work and XLA can interleave the blocks' slices and FLOPs.
+        """
+        b_starts, offs, fracs, weights, costs, base = xs
+        n_blocks = b_starts.shape[0]
+        # (B, C, ...) -> (C, B, ...) so the chunk axis leads for the scan;
+        # folds at compile time when the operator is closed over.
+        swap = lambda a: jnp.swapaxes(a, 0, 1)
+        cxs_all = jax.tree.map(swap, (offs, fracs, weights, costs, base))
+
+        def chunk_step(carry, cxs):
+            best_v, best_a, a_offset = carry
+            new_v, new_a = [], []
+            for i in range(n_blocks):
+                offs_i, fracs_i, w_i, costs_i, base_i = jax.tree.map(
+                    lambda a, i=i: a[i], cxs)
+                total = self._chunk_total(v_pad, b_starts[i], offs_i,
+                                          fracs_i, w_i, costs_i, base_i)
+                m = jnp.min(total, axis=-1)
+                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+                better = m < best_v[i]  # strict: earlier chunk wins ties
+                new_v.append(jnp.where(better, m, best_v[i]))
+                new_a.append(jnp.where(better, a, best_a[i]))
+            return (jnp.stack(new_v), jnp.stack(new_a),
+                    a_offset + self.chunk), None
+
+        init = (jnp.full((n_blocks,) + self.block_shape, jnp.inf, jnp.float32),
+                jnp.zeros((n_blocks,) + self.block_shape, jnp.int32),
+                jnp.asarray(0, jnp.int32))
+        (vals, args, _), _ = jax.lax.scan(chunk_step, init, cxs_all)
+        return vals, args
 
     def _unblock(self, x: jax.Array) -> jax.Array:
         """(B,) + block_shape -> state_shape, undoing _block_axes' layout."""
@@ -326,6 +453,8 @@ def build_stencil_backup(
     weight_mode: str = "onthefly",
     rolled: bool = False,
     edge_split: bool = False,
+    unroll_blocks: bool = False,
+    lerp_select: bool = False,
 ) -> StencilBackup:
     """Analyze a plan's tap geometry and build the stencil operator.
 
@@ -480,6 +609,19 @@ def build_stencil_backup(
         offs.append(res)
         # base as slice start into the padded table: pad_lo + base
         bases.append(base_k + pads[k][0])
+        # The sweep slices ONE banded window of size block + span per
+        # (block, chunk) and takes static tap slices inside it. Extend the
+        # high pad so the window's dynamic_slice can never clamp: a clamp
+        # shifts the live taps, whereas the old per-leaf slices only ever
+        # clamped on taps with zero weight. (Window end max =
+        # stored_base_max + t_lo + (state - block) + block + span.)
+        span = t_hi + 1 - t_lo
+        stored_base_max = int(bases[-1].max()) + t_lo
+        need = stored_base_max + (state_shape[k] - block_shape[k]) \
+            + block_shape[k] + span
+        dim = plan.grid_shape[k] + pads[k][0] + pads[k][1]
+        if need > dim:
+            pads[k] = (pads[k][0], pads[k][1] + need - dim)
 
     base = jnp.asarray(
         np.stack([b + taps[k][0] for k, b in enumerate(bases)], axis=2),
@@ -587,4 +729,6 @@ def build_stencil_backup(
         flat_pad=flat_pad,
         edge_taps=tuple(edge_flags) if edge_split else (),
         n_blocks_per_axis=nbs,
+        unroll_blocks=unroll_blocks,
+        lerp_select=lerp_select,
     )
