@@ -104,7 +104,7 @@ def bench_kirk():
 
     from ocdp_tpu.engine import value_iteration_finite
     from ocdp_tpu.models import kirk
-    from ocdp_tpu.ops.basegather import build_basegather_backup
+    from ocdp_tpu.ops.sheargather import build_sheargather_backup
     from ocdp_tpu.ops.stencil import build_stencil_backup
 
     cfg = kirk.KirkConfig()  # full workload: dx=100, du=1000, N=200
@@ -112,23 +112,23 @@ def bench_kirk():
     sweeps = cfg.N - 1
     evals = cfg.dx * cfg.dx * cfg.du * sweeps
 
-    bg = build_basegather_backup(p.plan, p.stage_cost, action_chunk=50)
-    f_bg = jax.jit(lambda plan, cost, b: value_iteration_finite(
+    sg = build_sheargather_backup(p.plan, p.stage_cost, action_chunk=20)
+    f_sg = jax.jit(lambda plan, cost, b: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=b))
-    dt_bg, _, _ = _time_jitted(f_bg, p.plan, p.stage_cost, bg)
+    dt_sg, _, _ = _time_jitted(f_sg, p.plan, p.stage_cost, sg)
 
     sb = build_stencil_backup(p.plan, p.stage_cost, action_chunk=50)
     f_sb = jax.jit(lambda plan, cost: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=sb))
     dt_sb, _, _ = _time_jitted(f_sb, p.plan, p.stage_cost)
 
-    impl, dt = min((("basegather", dt_bg), ("stencil", dt_sb)),
+    impl, dt = min((("sheargather", dt_sg), ("stencil", dt_sb)),
                    key=lambda t: t[1])
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
         "impl": impl,
-        "alternatives": {"basegather": round(dt_bg, 4),
+        "alternatives": {"sheargather": round(dt_sg, 4),
                          "stencil": round(dt_sb, 4)},
         "workload": "kirk dx=100 du=1000 N=200 (2e9 evals)",
     }
