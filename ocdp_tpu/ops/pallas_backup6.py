@@ -101,7 +101,7 @@ class PallasBackup6D:
     """
 
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
-                 row_tile: int = 32, interpret: bool | None = None,
+                 row_tile: int | None = None, interpret: bool | None = None,
                  max_flat_taps: int = 40):
         d = plan.ndim
         q_shape = plan.query_shape
@@ -114,6 +114,12 @@ class PallasBackup6D:
         self.NW = int(np.prod(state_shape[:nr]))
         self.NE = int(np.prod(state_shape[nr:]))
         self.NEp = _round_up(self.NE, 128)
+        if row_tile is None:
+            # Mosaic spills scale with the (T, NEp) tile footprint; T=32 at
+            # NEp=1024 compiles, larger products crash the compile helper
+            # (register-spill VMEM exhaustion, NOTES.md). Keep T*NEp at or
+            # under that budget, floor 8 (the f32 sublane count).
+            row_tile = max(8, (32 * 1024 // self.NEp) // 8 * 8)
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
 
