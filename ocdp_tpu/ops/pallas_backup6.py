@@ -102,7 +102,7 @@ class PallasBackup6D:
 
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
                  row_tile: int | None = None, interpret: bool | None = None,
-                 max_flat_taps: int = 40):
+                 max_flat_taps: int = 40, row_pad_to: int | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
         state_shape = q_shape[:-1]
@@ -195,6 +195,14 @@ class PallasBackup6D:
         # --- padded device-side inputs ----------------------------------
         self.row_tile = row_tile
         self.NWp = _round_up(self.NW, row_tile)
+        if row_pad_to is not None:
+            # row-sharded engines pad further so NWp divides evenly into
+            # per-device blocks of whole tiles (parallel/halo6.py)
+            if row_pad_to < self.NWp or row_pad_to % row_tile:
+                raise ValueError(
+                    f"row_pad_to={row_pad_to} must be a multiple of "
+                    f"row_tile={row_tile} and >= {self.NWp}")
+            self.NWp = row_pad_to
 
         def pad_rows(a, fill_edge=True):
             if a.shape[0] == self.NWp:
@@ -483,31 +491,33 @@ class PallasBackup6D:
             setattr(obj, f, v)
         return obj
 
-    def __call__(self, values: jax.Array) -> BackupResult:
+    @property
+    def sweep_args(self) -> tuple:
+        """Per-row device arrays in ``_sweep_padded`` order. Sharded
+        engines pass device-local row slices of exactly these."""
+        return (*self.w_off_j, *self.w_frac_j, *self.e_off_j,
+                *self.e_frac_j, self.c_row_j, self.c_lane_j)
+
+    def _sweep_padded(self, v2p: jax.Array, args, nwp: int):
+        """One backup sweep over ``nwp`` (padded) output rows.
+
+        ``v2p`` is the (pad_top + nwp + pad_bot, NEp) padded value window;
+        ``args`` are (local slices of) :attr:`sweep_args` with ``nwp``
+        rows each (``c_lane`` excepted). Returns ``(vals, argm)`` of shape
+        (nwp, NEp) — callers slice/reshape.
+        """
         T, NE = self.row_tile, self.NEp
-        # rows layout: [pad_top zeros; NW real; (NWp-NW)+pad_bot zeros]
-        v2 = values.reshape(self.NW, self.NE)
-        v2 = jnp.pad(v2, ((self.pad_top,
-                           self.NWp - self.NW + self.pad_bot),
-                          (0, NE - self.NE)))
-        grid = (self.NWp // T,)
+        grid = (nwp // T,)
 
         def tile2(a):
             return pl.BlockSpec((T, a.shape[1]), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
         in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # whole table
-        args = []
-        for seq in (self.w_off_j, self.w_frac_j, self.e_off_j, self.e_frac_j):
-            for a in seq:
-                in_specs.append(tile2(a))
-                args.append(a)
-        in_specs.append(tile2(self.c_row_j))
-        args.append(self.c_row_j)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(self.c_lane_j)
+        in_specs += [tile2(a) for a in args[:-1]]
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_lane
 
-        out = pl.pallas_call(
+        return pl.pallas_call(
             self._kernel,
             grid=grid,
             interpret=self.interpret,
@@ -519,8 +529,8 @@ class PallasBackup6D:
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((self.NWp, NE), jnp.float32),
-                jax.ShapeDtypeStruct((self.NWp, NE), jnp.int32),
+                jax.ShapeDtypeStruct((nwp, NE), jnp.float32),
+                jax.ShapeDtypeStruct((nwp, NE), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
@@ -533,7 +543,15 @@ class PallasBackup6D:
                 # (128MB physical VMEM) at the 11^3x10^3 flagship size
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(v2, *args)
+        )(v2p, *args)
+
+    def __call__(self, values: jax.Array) -> BackupResult:
+        # rows layout: [pad_top zeros; NW real; (NWp-NW)+pad_bot zeros]
+        v2 = values.reshape(self.NW, self.NE)
+        v2 = jnp.pad(v2, ((self.pad_top,
+                           self.NWp - self.NW + self.pad_bot),
+                          (0, self.NEp - self.NE)))
+        out = self._sweep_padded(v2, self.sweep_args, self.NWp)
         vals = out[0][:self.NW, :self.NE].reshape(self.state_shape)
         args_out = out[1][:self.NW, :self.NE].reshape(self.state_shape)
         return BackupResult(vals, args_out)

@@ -1,0 +1,130 @@
+"""Row-sharded 6-D attitude value iteration: halo exchange + Pallas kernel.
+
+Scales the flagship full-attitude solve (attitude-control/
+Solver_attitude.m:261-300) past one chip's VMEM: the single-chip Pallas
+kernel (``ops/pallas_backup6.py``) holds the whole (omega-rows x Euler-lanes)
+value table VMEM-resident, which caps the grid near 11M cells on a v5e
+(NOTES.md "6-D single-chip envelope"). Here the table's ROW axis (the flat
+omega index) is sharded across a mesh axis; each sweep exchanges only the
+kernel's row-tap reach with ring neighbors over ICI (`ppermute`) — the same
+boundary-slab pattern as ``parallel/halo.py``, at 6-D scale:
+
+* device d owns rows [d*B, (d+1)*B) of the (NWp = n_dev*B)-row table;
+* left halo = bottom ``pad_top`` rows of the left neighbor, right halo =
+  top ``pad_bot`` rows of the right neighbor (widths = the kernel's flat
+  row-tap span + sublane alignment, known at build time);
+* edge devices receive ppermute's zeros, matching the single-chip zero
+  padding exactly; out-of-range taps carry identically-zero weights, so
+  rows/lanes of padding garbage contribute exact zeros — results are
+  BITWISE identical to the single-chip kernel;
+* per-sweep ICI traffic is O(halo rows x NEp) per device; the table block,
+  offset/weight slices, and scratch stay device-resident.
+
+Requires halo width <= per-device block height (the reach never spans more
+than the immediate neighbor); raise otherwise and use fewer devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..engine import SolveResult, policy_dtype_for
+from ..ops.interp import InterpPlan
+from ..ops.pallas_backup6 import PallasBackup6D, _round_up
+
+__all__ = ["value_iteration_finite_halo6"]
+
+
+def value_iteration_finite_halo6(
+    plan: InterpPlan,
+    cost_terms,
+    num_sweeps: int,
+    mesh: Mesh,
+    *,
+    axis_name: str = "s",
+    init_values: Optional[jax.Array] = None,
+    store_policies: bool = False,
+    **kernel_kw,
+) -> SolveResult:
+    """Finite-horizon VI, table row-sharded over ``mesh[axis_name]``.
+
+    Returns global (unsharded) results bitwise identical to running the
+    single-chip :class:`PallasBackup6D` through the finite engine.
+    """
+    n_dev = mesh.shape[axis_name]
+    probe = PallasBackup6D(plan, cost_terms, **kernel_kw)
+    T = probe.row_tile
+    B = _round_up(-(-probe.NW // n_dev), T)      # block rows, whole tiles
+    kw = dict(kernel_kw, row_tile=T, row_pad_to=n_dev * B)
+    bk = PallasBackup6D(plan, cost_terms, **kw)
+    lo, hi = bk.pad_top, bk.pad_bot
+    if max(lo, hi) > B:
+        raise ValueError(
+            f"halo widths ({lo}, {hi}) exceed the per-device block height "
+            f"{B}; use fewer devices")
+
+    if init_values is None:
+        v0 = jnp.zeros((bk.NWp, bk.NEp), jnp.float32)
+    else:
+        v0 = jnp.pad(init_values.reshape(bk.NW, bk.NE),
+                     ((0, bk.NWp - bk.NW), (0, bk.NEp - bk.NE)))
+    pdt = policy_dtype_for(bk.n_actions)
+
+    def run(v_blk, *args_l):
+        def halo_pad(v_local):
+            parts = []
+            if lo:
+                parts.append(jax.lax.ppermute(
+                    v_local[-lo:], axis_name,
+                    [(i, i + 1) for i in range(n_dev - 1)]))
+            parts.append(v_local)
+            if hi:
+                parts.append(jax.lax.ppermute(
+                    v_local[:hi], axis_name,
+                    [(i + 1, i) for i in range(n_dev - 1)]))
+            return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+                else v_local
+
+        def sweep(carry, _):
+            v_local, _ = carry
+            v2p = halo_pad(v_local)
+            vals, argm = bk._sweep_padded(v2p, args_l, B)
+            return (vals, argm), (argm.astype(pdt) if store_policies
+                                  else None)
+
+        init = (v_blk, jnp.zeros((B, bk.NEp), jnp.int32))
+        (v_fin, argm), pols = jax.lax.scan(sweep, init, None,
+                                           length=num_sweeps)
+        if store_policies:
+            return v_fin, argm, pols
+        return v_fin, argm
+
+    rows = P(axis_name, None)
+    in_specs = [rows]
+    for a in bk.sweep_args[:-1]:
+        in_specs.append(rows)
+    in_specs.append(P(None, None))               # c_lane: replicated
+    out_specs = (rows, rows, P(None, axis_name, None)) if store_policies \
+        else (rows, rows)
+
+    fn = jax.shard_map(run, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=out_specs, check_vma=False)
+    out = jax.jit(fn)(v0, *bk.sweep_args)
+    values = out[0][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    policies = None
+    if store_policies:
+        policies = out[2][:, :bk.NW, :bk.NE].reshape(
+            (num_sweeps,) + bk.state_shape)
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=policies,
+        num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
+        converged=jnp.asarray(False),
+    )

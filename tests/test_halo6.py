@@ -1,0 +1,60 @@
+"""Row-sharded 6-D halo engine (parallel/halo6.py) vs the single-chip
+Pallas kernel: bitwise parity, halo-width guard, policy stacks.
+
+The multi-chip scaling path for the flagship full-attitude solve
+(attitude-control/Solver_attitude.m:261-300) past the single-chip VMEM
+envelope (NOTES.md).
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ocdp_tpu.engine import value_iteration_finite
+from ocdp_tpu.models import attitude
+from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+from ocdp_tpu.parallel import value_iteration_finite_halo6
+
+
+def _problem(nw, nq):
+    cfg = attitude.AttitudeConfig(n_mesh_w=nw, n_mesh_q=nq)
+    return attitude.build_full(cfg)
+
+
+def test_halo6_matches_single_chip_bitwise():
+    grid, plan, cost = _problem(5, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, 6, store_policies=True, backup=b))(plan, cost, bk)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    got = value_iteration_finite_halo6(plan, cost, 6, mesh, row_tile=8,
+                                       store_policies=True)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+    np.testing.assert_array_equal(np.asarray(got.policies),
+                                  np.asarray(ref.policies))
+    assert got.policies.dtype == np.uint8    # 27 actions -> narrow store
+
+
+def test_halo6_four_devices():
+    grid, plan, cost = _problem(7, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, 4, store_policies=False, backup=b))(plan, cost, bk)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("s",))
+    got = value_iteration_finite_halo6(plan, cost, 4, mesh, row_tile=8)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_halo6_width_guard():
+    """Reach spanning past the immediate neighbor must raise, not corrupt."""
+    grid, plan, cost = _problem(5, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("s",))
+    with pytest.raises(ValueError, match="halo widths"):
+        value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8)
