@@ -104,32 +104,30 @@ def bench_kirk():
 
     from ocdp_tpu.engine import value_iteration_finite
     from ocdp_tpu.models import kirk
+    from ocdp_tpu.ops.pallas_shear import build_pallas_shear_backup
     from ocdp_tpu.ops.sheargather import build_sheargather_backup
-    from ocdp_tpu.ops.stencil import build_stencil_backup
 
     cfg = kirk.KirkConfig()  # full workload: dx=100, du=1000, N=200
     p = kirk.build(cfg)
     sweeps = cfg.N - 1
     evals = cfg.dx * cfg.dx * cfg.du * sweeps
 
-    sg = build_sheargather_backup(p.plan, p.stage_cost, action_chunk=20)
-    f_sg = jax.jit(lambda plan, cost, b: value_iteration_finite(
+    ps = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=20)
+    f_b = jax.jit(lambda plan, cost, b: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=b))
-    dt_sg, _, _ = _time_jitted(f_sg, p.plan, p.stage_cost, sg)
+    dt_ps, _, _ = _time_jitted(f_b, p.plan, p.stage_cost, ps)
 
-    sb = build_stencil_backup(p.plan, p.stage_cost, action_chunk=50)
-    f_sb = jax.jit(lambda plan, cost: value_iteration_finite(
-        plan, cost, sweeps, store_policies=False, backup=sb))
-    dt_sb, _, _ = _time_jitted(f_sb, p.plan, p.stage_cost)
+    sg = build_sheargather_backup(p.plan, p.stage_cost, action_chunk=20)
+    dt_sg, _, _ = _time_jitted(f_b, p.plan, p.stage_cost, sg)
 
-    impl, dt = min((("sheargather", dt_sg), ("stencil", dt_sb)),
+    impl, dt = min((("pallas-shear", dt_ps), ("sheargather", dt_sg)),
                    key=lambda t: t[1])
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
         "impl": impl,
-        "alternatives": {"sheargather": round(dt_sg, 4),
-                         "stencil": round(dt_sb, 4)},
+        "alternatives": {"pallas-shear": round(dt_ps, 4),
+                         "sheargather": round(dt_sg, 4)},
         "workload": "kirk dx=100 du=1000 N=200 (2e9 evals)",
     }
 

@@ -142,6 +142,21 @@ def solve(
                     raise
                 chunk = _largest_divisor_leq(config.du, chunk // 2)
     elif impl == "pallas":
+        # fused shear-gather kernel (ops/pallas_shear.py) — the fastest
+        # Kirk path: 5.5e9 evals/s on one v5e (NOTES.md round 2)
+        from ..ops.pallas_shear import build_pallas_shear_backup
+
+        chunk = config.du if config.du <= 20 else _largest_divisor_leq(config.du, 20)
+        while True:
+            try:
+                backup = build_pallas_shear_backup(
+                    problem.plan, problem.stage_cost, action_chunk=chunk)
+                break
+            except ValueError:
+                if chunk == 1:
+                    raise
+                chunk = _largest_divisor_leq(config.du, chunk // 2)
+    elif impl == "pallas-lti":
         from ..ops.pallas_lti import build_pallas_lti_backup
 
         chunk = config.du if config.du <= 128 else _largest_divisor_leq(config.du, 100)

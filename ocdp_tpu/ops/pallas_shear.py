@@ -1,0 +1,300 @@
+"""Pallas TPU kernel: shear-gather Bellman backup, fully VMEM-fused.
+
+The XLA shear-gather path (``ops/sheargather.py``) bottoms out at ~3e9
+evals/s on the full Kirk workload: its profile is one third layout copies
+(XLA materializes every per-(chunk, delta, corner) leaf slice as a retiling
+``copy``), one third loop fusions, one third per-chunk min/argmin reduces —
+the select-chain never fuses end-to-end. This kernel runs the identical
+algorithm with every intermediate VMEM-resident:
+
+* the 2^d corner tables are still gathered ONCE per sweep on the XLA side
+  (table-sized gather, ~0.8 ms for Kirk) and phase-split along upsampled
+  axes (see sheargather: lattice upsampling keeps shear slopes <= 1);
+* per action chunk, XLA pre-slices each (corner, relative-phase) WINDOW
+  into a stacked array W[c, slot, R, L] — static slices, so the kernel's
+  grid can block over chunks while all in-kernel offsets stay
+  chunk-independent: pair (d0, d1) reads slot
+  ``corner*(u0*u1) + (d0%u0)*u1 + (d1%u1)`` at offset (d0//u0, d1//u1);
+* the kernel (grid = one step per chunk, sequential on TPU) stages the
+  n_pairs x 4 leaf slices in VMEM scratch, then for each of the chunk's
+  actions: one combined-band-index compare per pair, 4 masked accumulates,
+  the multilinear corner-weight combine (same product/sum order as
+  ops/backup.py), stage-cost add, and a strict-< first-min update of the
+  output block (revisited across grid steps — MATLAB tie-break preserved
+  across chunks AND actions, test/Dynamic_Solver.m:209).
+
+2-D only (the Kirk family shape); build falls back with ValueError
+otherwise. Parity: same weight algebra as the gather oracle; as with the
+XLA shear path, FMA-contraction choices may flip exact f32 ties by 1 ulp.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .backup import BackupResult
+from .interp import InterpPlan
+from .sheargather import build_sheargather_backup
+
+__all__ = ["PallasShearBackup", "build_pallas_shear_backup"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+class PallasShearBackup:
+    """Callable fused shear-gather backup (2-D state grids)."""
+
+    def __init__(self, plan: InterpPlan, stage_cost, *,
+                 action_chunk: int = 20, max_band: int = 9,
+                 interpret: bool | None = None):
+        sg = build_sheargather_backup(plan, stage_cost,
+                                      action_chunk=action_chunk,
+                                      max_band=max_band)
+        if len(sg.grid_shape) != 2:
+            raise ValueError("pallas_shear supports 2-D state grids only")
+        self.grid_shape = sg.grid_shape
+        self.state_shape = sg.state_shape
+        self.t_shape = sg.t_shape
+        self.n_band = sg.n_band
+        self.upsample = sg.upsample
+        self.chunk = sg.chunk
+        self.n_actions = sg.n_actions
+        self.n_chunks = sg.n_actions // sg.chunk
+        self.corner_idx = sg.corner_idx
+        self.interpret = (jax.default_backend() != "tpu"
+                          if interpret is None else interpret)
+
+        S0, S1 = self.state_shape
+        self.S0p = _round_up(S0, 8)
+        self.S1p = _round_up(S1, 128)
+        nb0, nb1 = self.n_band
+        u0, u1 = self.upsample
+        self.n_slots = 4 * u0 * u1
+        # window extents: per-pair offsets (d0//u0, d1//u1) + padded state
+        self.R_w = (nb0 - 1) // u0 + self.S0p
+        self.L_w = _round_up((nb1 - 1) // u1 + self.S1p, 128)
+
+        # phase-view padding so every window slice is in bounds
+        t0, t1 = self.t_shape
+        self.view_rows = {}
+        self.view_cols = {}
+        for p0 in range(u0):
+            self.view_rows[p0] = (t0 - p0 + u0 - 1) // u0
+        for p1 in range(u1):
+            self.view_cols[p1] = (t1 - p1 + u1 - 1) // u1
+        self.vr_pad = max(max(
+            (int(ws[0]) + q0) // u0 + self.R_w
+            for ws in sg.win_start for q0 in range(u0)),
+            max(self.view_rows.values()))
+        self.vc_pad = max(max(
+            (int(ws[1]) + q1) // u1 + self.L_w
+            for ws in sg.win_start for q1 in range(u1)),
+            max(self.view_cols.values()))
+        # per-(chunk, slot) window origins in the padded phase views, and
+        # which absolute phase each (corner, relative-phase) slot reads
+        self.win_origin = []      # [c][slot] = (row0, col0)
+        self.slot_phase = []      # [c][slot] = (abs_p0, abs_p1)
+        for ws in sg.win_start:
+            ws0, ws1 = int(ws[0]), int(ws[1])
+            oc, pc = [], []
+            for corner in itertools.product((0, 1), repeat=2):
+                for q0 in range(u0):
+                    for q1 in range(u1):
+                        f0, f1 = ws0 + q0, ws1 + q1
+                        oc.append((f0 // u0, f1 // u1))
+                        pc.append(corner + (f0 % u0, f1 % u1))
+            self.win_origin.append(tuple(oc))
+            self.slot_phase.append(tuple(pc))
+        self.win_origin = tuple(self.win_origin)
+        self.slot_phase = tuple(self.slot_phase)
+
+        # device arrays: (C, chunk, S0p, S1p); band-index pairs combined
+        C, ch = self.n_chunks, self.chunk
+
+        def dev(a, fill_edge=True):
+            # (C, s0, chunk, s1) -> (C, chunk, S0p, S1p), edge-padded
+            a = np.moveaxis(np.asarray(a), -2, 1)
+            return np.pad(a, ((0, 0), (0, 0), (0, self.S0p - S0),
+                              (0, self.S1p - S1)), mode="edge")
+
+        j0 = np.asarray(sg.j_idx[0], np.int32)
+        j1 = np.asarray(sg.j_idx[1], np.int32)
+        jj = j0 * nb1 + j1
+        self.jj = jnp.asarray(dev(jj).astype(np.int32))
+        self.f0 = jnp.asarray(dev(np.asarray(sg.frac[0], np.float32)))
+        self.f1 = jnp.asarray(dev(np.asarray(sg.frac[1], np.float32)))
+        self.cost = jnp.asarray(dev(np.asarray(sg.cost, np.float32)))
+
+    # pytree: arrays as leaves (traced jit argument — the jj/frac/cost
+    # stacks must not become compile-payload constants, NOTES.md)
+    traced_argument = True
+    _LEAF_FIELDS = ("corner_idx", "jj", "f0", "f1", "cost")
+    _AUX_FIELDS = ("grid_shape", "state_shape", "t_shape", "n_band",
+                   "upsample", "chunk", "n_actions", "n_chunks", "interpret",
+                   "S0p", "S1p", "n_slots", "R_w", "L_w", "view_rows",
+                   "view_cols", "vr_pad", "vc_pad", "win_origin",
+                   "slot_phase")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
+                tuple(
+                    tuple(sorted(v.items())) if isinstance(v, dict) else v
+                    for v in (getattr(self, f) for f in self._AUX_FIELDS)))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for f, v in zip(cls._AUX_FIELDS, aux):
+            if f in ("view_rows", "view_cols"):
+                v = dict(v)
+            setattr(obj, f, v)
+        for f, v in zip(cls._LEAF_FIELDS, leaves):
+            setattr(obj, f, v)
+        return obj
+
+    def _kernel(self, w_ref, jj_ref, f0_ref, f1_ref, cost_ref,
+                out_v, out_a, leaves):
+        nb0, nb1 = self.n_band
+        u0, u1 = self.upsample
+        n_pairs = nb0 * nb1
+        c = pl.program_id(0)
+
+        # stage the per-pair, per-corner leaf windows in scratch
+        for d0 in range(nb0):
+            for d1 in range(nb1):
+                pair = d0 * nb1 + d1
+                r0, c0 = d0 // u0, d1 // u1
+                for corner in range(4):
+                    slot = corner * (u0 * u1) + (d0 % u0) * u1 + (d1 % u1)
+                    leaves[pair * 4 + corner, :, :] = \
+                        w_ref[0, slot, r0:r0 + self.S0p,
+                              c0:c0 + self.S1p]
+
+        best_v = None
+        best_a = None
+        for a in range(self.chunk):
+            jj = jj_ref[0, a]
+            acc = [None] * 4
+            for pair in range(n_pairs):
+                m = jj == pair
+                for corner in range(4):
+                    t = jnp.where(m, leaves[pair * 4 + corner, :, :], 0.0)
+                    acc[corner] = t if acc[corner] is None \
+                        else acc[corner] + t
+            f0, f1 = f0_ref[0, a], f1_ref[0, a]
+            # gather-oracle corner order/products (ops/backup.py)
+            tot = ((1.0 - f0) * (1.0 - f1)) * acc[0] \
+                + ((1.0 - f0) * f1) * acc[1] \
+                + (f0 * (1.0 - f1)) * acc[2] \
+                + (f0 * f1) * acc[3] \
+                + cost_ref[0, a]
+            a_idx = c * self.chunk + a
+            if best_v is None:
+                best_v = tot
+                best_a = jnp.full(tot.shape, a_idx, jnp.int32)
+            else:
+                better = tot < best_v          # strict: first min wins
+                best_v = jnp.where(better, tot, best_v)
+                best_a = jnp.where(better, jnp.int32(a_idx), best_a)
+
+        @pl.when(c == 0)
+        def _init():
+            out_v[:, :] = best_v
+            out_a[:, :] = best_a
+
+        @pl.when(c > 0)
+        def _combine():
+            prev_v = out_v[:, :]
+            prev_a = out_a[:, :]
+            better = best_v < prev_v           # strict across chunks
+            out_v[:, :] = jnp.where(better, best_v, prev_v)
+            out_a[:, :] = jnp.where(better, best_a, prev_a)
+
+    def __call__(self, values: jax.Array) -> BackupResult:
+        d = 2
+        u0, u1 = self.upsample
+        n0, n1 = self.grid_shape
+        v_flat = values.reshape(-1)
+
+        # corner tables (one table-sized gather each), phase-split + pad
+        views = {}
+        for corner in itertools.product((0, 1), repeat=d):
+            off = corner[0] * n1 + corner[1]
+            t = jnp.take(v_flat, self.corner_idx + off).reshape(self.t_shape)
+            for p0 in range(u0):
+                for p1 in range(u1):
+                    v = t[p0::u0, p1::u1]
+                    views[corner + (p0, p1)] = jnp.pad(
+                        v, ((0, self.vr_pad - v.shape[0]),
+                            (0, self.vc_pad - v.shape[1])))
+
+        # per-chunk stacked windows: static slices, chunk-independent
+        # in-kernel offsets (relative-phase slot layout)
+        wins = []
+        for ci in range(self.n_chunks):
+            slots = []
+            for slot in range(self.n_slots):
+                r0, c0 = self.win_origin[ci][slot]
+                src = views[self.slot_phase[ci][slot]]
+                slots.append(jax.lax.slice(
+                    src, (r0, c0), (r0 + self.R_w, c0 + self.L_w)))
+            wins.append(jnp.stack(slots))
+        W = jnp.stack(wins)          # (C, n_slots, R_w, L_w)
+
+        nb0, nb1 = self.n_band
+        out = pl.pallas_call(
+            self._kernel,
+            grid=(self.n_chunks,),
+            interpret=self.interpret,
+            in_specs=[
+                pl.BlockSpec((1, self.n_slots, self.R_w, self.L_w),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((self.S0p, self.S1p), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.S0p, self.S1p), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((self.S0p, self.S1p), jnp.float32),
+                jax.ShapeDtypeStruct((self.S0p, self.S1p), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nb0 * nb1 * 4, self.S0p, self.S1p),
+                           jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(W, self.jj, self.f0, self.f1, self.cost)
+        S0, S1 = self.state_shape
+        return BackupResult(out[0][:S0, :S1], out[1][:S0, :S1])
+
+
+def build_pallas_shear_backup(plan: InterpPlan, stage_cost,
+                              **kw) -> PallasShearBackup:
+    return PallasShearBackup(plan, stage_cost, **kw)
