@@ -170,21 +170,54 @@ def bench_attitude_axis():
     }
 
 
+def bench_position():
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.models import position
+    from ocdp_tpu.ops.stencil import build_stencil_backup
+
+    cfg = position.PositionConfig()   # 3 channels x 201x201 x 3, 5999 sweeps
+    sweeps = cfg.n_stage - 1
+    problem = position.build(cfg)
+    sb = build_stencil_backup(problem.plan, problem.stage_cost)
+    fn = jax.jit(lambda p_, c_: value_iteration_finite(
+        p_, c_, sweeps, store_policies=False, backup=sb))
+    dt, _, _ = _time_jitted(fn, problem.plan, problem.stage_cost)
+    evals = 3 * (cfg.n_mesh_x + 1) * (cfg.n_mesh_v + 1) * 3 * sweeps
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "impl": "stencil",
+        "workload": "position 3 channels (201x201x3) x 5999 sweeps",
+    }
+
+
 def bench_pos_att_channel():
     import jax
+    import jax.numpy as jnp
 
     from ocdp_tpu.engine import value_iteration_converged
     from ocdp_tpu.models import pos_att
-    from ocdp_tpu.ops.stencil import build_stencil_backup
+    from ocdp_tpu.ops.pallas_backup6 import PermutedRowLaneBackup
 
     cfg = pos_att.PosAttConfig()      # 30x30x20x15 x 9 combos, early stop
     max_sweeps = cfg.n_stage - 1
     problem = pos_att.build_channel(cfg, "x")
-    sb = build_stencil_backup(problem.plan, problem.stage_cost)
-    fn = jax.jit(lambda p_, c_: value_iteration_converged(
+    ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
+    bk = PermutedRowLaneBackup(
+        problem.plan,
+        [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
+         cfg.Qv * ax[1][None, :, None, None, None] ** 2,
+         cfg.Qt * ax[2][None, None, :, None, None] ** 2,
+         cfg.Qw * ax[3][None, None, None, :, None] ** 2,
+         cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
+                             jnp.float32)[None, None, None, None, :]],
+        perm=(1, 3, 0, 2), row_axes=2)
+    fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
         p_, c_, max_sweeps, check_every=cfg.check_every, tol=cfg.tol,
-        backup=sb))
-    dt, _, res = _time_jitted(fn, problem.plan, problem.stage_cost)
+        backup=b))
+    dt, _, res = _time_jitted(fn, problem.plan, problem.stage_cost, bk)
     sweeps = int(res.num_sweeps)
     cells = cfg.n_mesh_x * cfg.n_mesh_v * cfg.n_mesh_t * cfg.n_mesh_w
     evals = cells * 9 * sweeps
@@ -192,7 +225,7 @@ def bench_pos_att_channel():
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
         "sweeps": sweeps,
-        "impl": "stencil",
+        "impl": "pallas-rowlane",
         "workload": f"pos-att x channel {cells}x9, converged loop "
                     f"(cap {max_sweeps})",
     }
@@ -230,11 +263,12 @@ def main():
     from ocdp_tpu.models import kirk
 
     which = os.environ.get(
-        "BENCH_FAMILIES", "kirk,attitude_axis,pos_att_channel,attitude_6d"
+        "BENCH_FAMILIES", "kirk,attitude_axis,position,pos_att_channel,attitude_6d"
     ).split(",")
     runners = {
         "kirk": bench_kirk,
         "attitude_axis": bench_attitude_axis,
+        "position": bench_position,
         "pos_att_channel": bench_pos_att_channel,
         "attitude_6d": bench_attitude_6d,
     }

@@ -210,18 +210,50 @@ def solve_channel(
     backup = None
     if impl == "stencil":
         backup = build_stencil_backup(problem.plan, problem.stage_cost)
+    elif impl == "pallas":
+        # row/lane Pallas kernel under the (v, w, x, t) permutation:
+        # rows = the action-coupled axes (v' dep (v, u); w' dep (w, u)),
+        # lanes = the drift axes (x' = x + h v; t' = t + h w) —
+        # Solver_pos_att.m:299-328's structure is exactly row/lane
+        # separable after this permutation
+        from ..ops.pallas_backup6 import PermutedRowLaneBackup
+
+        backup = PermutedRowLaneBackup(
+            problem.plan,
+            [cfg.Qx * jnp.asarray(problem.grid.axes[0],
+                                  jnp.float32)[:, None, None, None, None]**2,
+             cfg.Qv * jnp.asarray(problem.grid.axes[1],
+                                  jnp.float32)[None, :, None, None, None]**2,
+             cfg.Qt * jnp.asarray(problem.grid.axes[2],
+                                  jnp.float32)[None, None, :, None, None]**2,
+             cfg.Qw * jnp.asarray(problem.grid.axes[3],
+                                  jnp.float32)[None, None, None, :, None]**2,
+             cfg.R * jnp.asarray(
+                 (problem.forces ** 2).sum(axis=1),
+                 jnp.float32)[None, None, None, None, :]],
+            perm=(1, 3, 0, 2), row_axes=2)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
-    @partial(jax.jit, static_argnames=("n",))
-    def _solve(plan, cost, n):
-        # backup closed over -> weight stacks become foldable constants
-        return value_iteration_converged(
-            plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
-            backup=backup,
-        )
+    if backup is not None and getattr(backup, "traced_argument", False):
+        @partial(jax.jit, static_argnames=("n",))
+        def _solve_arg(plan, cost, bk, n):
+            return value_iteration_converged(
+                plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
+                backup=bk,
+            )
 
-    result = _solve(problem.plan, problem.stage_cost, sweeps)
+        result = _solve_arg(problem.plan, problem.stage_cost, backup, sweeps)
+    else:
+        @partial(jax.jit, static_argnames=("n",))
+        def _solve(plan, cost, n):
+            # backup closed over -> weight stacks become foldable constants
+            return value_iteration_converged(
+                plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
+                backup=backup,
+            )
+
+        result = _solve(problem.plan, problem.stage_cost, sweeps)
     ctrl = ChannelController(
         axes=tuple(problem.grid.axes),
         values=np.asarray(result.values),

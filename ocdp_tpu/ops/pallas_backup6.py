@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .backup import BackupResult
 from .interp import InterpPlan
 
-__all__ = ["PallasBackup6D", "build_pallas_backup_6d"]
+__all__ = ["PallasBackup6D", "PermutedRowLaneBackup", "build_pallas_backup_6d"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -559,3 +559,61 @@ class PallasBackup6D:
 
 def build_pallas_backup_6d(plan: InterpPlan, cost_terms, **kw) -> PallasBackup6D:
     return PallasBackup6D(plan, cost_terms, **kw)
+
+
+@jax.tree_util.register_pytree_node_class
+class PermutedRowLaneBackup:
+    """Row/lane kernel behind a state-axis permutation.
+
+    Problems whose NATURAL axis order is not row/lane-separable often are
+    under a permutation — pos-att channels (x, v, theta, omega) become
+    separable as rows=(v, omega) (the action-coupled axes), lanes=
+    (x, theta) (pos-att/Solver_pos_att.m:299-328: x' = x + h v,
+    theta' = theta + h omega depend on no control). Wraps a
+    :class:`PallasBackup6D` built on the permuted plan; transposes the
+    value table in and the results back out (state-sized copies, trivial
+    next to the backup itself).
+    """
+
+    traced_argument = True
+
+    def __init__(self, plan: InterpPlan, cost_terms, perm, *, row_axes: int,
+                 **kw):
+        d = plan.ndim
+        if sorted(perm) != list(range(d)):
+            raise ValueError(f"perm {perm} is not a permutation of 0..{d-1}")
+        self.perm = tuple(perm)
+        self.inv = tuple(int(np.argwhere(np.asarray(perm) == k))
+                         for k in range(d))
+        ap = self.perm + (d,)          # action axis stays last
+
+        def t(a):
+            a = jnp.asarray(a)
+            if a.ndim != d + 1:
+                a = a.reshape((1,) * (d + 1 - a.ndim) + a.shape)
+            return jnp.transpose(a, ap)
+
+        plan_p = InterpPlan(
+            lo=tuple(t(plan.lo[k]) for k in self.perm),
+            frac=tuple(t(plan.frac[k]) for k in self.perm),
+            grid_shape=tuple(plan.grid_shape[k] for k in self.perm),
+        )
+        terms = (list(cost_terms) if isinstance(cost_terms, (tuple, list))
+                 else [cost_terms])
+        self.bk = PallasBackup6D(plan_p, [t(c) for c in terms],
+                                 row_axes=row_axes, **kw)
+
+    def __call__(self, values: jax.Array) -> BackupResult:
+        res = self.bk(jnp.transpose(values, self.perm))
+        return BackupResult(jnp.transpose(res.values, self.inv),
+                            jnp.transpose(res.argmin, self.inv))
+
+    def tree_flatten(self):
+        return (self.bk,), (self.perm, self.inv)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.perm, obj.inv = aux
+        obj.bk = leaves[0]
+        return obj

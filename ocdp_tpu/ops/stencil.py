@@ -172,8 +172,8 @@ class StencilBackup:
             (offs, fracs, weights, costs), base = cxs
             total = self._chunk_total(v_pad, b_start, offs, fracs, weights,
                                       costs, base)
-            m = jnp.min(total, axis=-1)
-            a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+            m, a = self._chunk_min(total)
+            a = a + a_offset
             better = m < best_v  # strict: earlier chunk wins ties
             return (jnp.where(better, m, best_v),
                     jnp.where(better, a, best_a),
@@ -186,6 +186,18 @@ class StencilBackup:
             chunk_step, init,
             ((offs_b, fracs_b, weights_b, costs_b), base_b))
         return vals, args
+
+    def _chunk_min(self, total):
+        """First-min value + index over the trailing action axis.
+
+        Kept as the fused ``min``/``argmin`` reduce: an unrolled strict-<
+        chain over ``total[..., a]`` slices was tried against the pos-att
+        profile (the 9-wide minor-axis iota-reduce is 57% of that solve)
+        and REGRESSED 2x — minor-dim slices materialize as relayout
+        copies, costing more than the narrow reduce they replace.
+        """
+        return (jnp.min(total, axis=-1),
+                jnp.argmin(total, axis=-1).astype(jnp.int32))
 
     def _chunk_total(self, v_pad, b_start, offs, fracs, weights, costs, base):
         """One (block, chunk) tile's cost-plus-interpolated-value tensor,
@@ -419,8 +431,8 @@ class StencilBackup:
                     lambda a, i=i: a[i], cxs)
                 total = self._chunk_total(v_pad, b_starts[i], offs_i,
                                           fracs_i, w_i, costs_i, base_i)
-                m = jnp.min(total, axis=-1)
-                a = jnp.argmin(total, axis=-1).astype(jnp.int32) + a_offset
+                m, a = self._chunk_min(total)
+                a = a + a_offset
                 better = m < best_v[i]  # strict: earlier chunk wins ties
                 new_v.append(jnp.where(better, m, best_v[i]))
                 new_a.append(jnp.where(better, a, best_a[i]))

@@ -119,3 +119,23 @@ def test_failure_mode_never_fires_thruster0():
                                               use_x_failure=True)
     F = np.asarray(F_th)
     assert np.all(F[:, 0] == 0.0)
+
+
+def test_solve_channel_pallas_matches_stencil():
+    """The row/lane Pallas path (rows=(v,w), lanes=(x,t) permutation) must
+    agree with the stencil solve; f32 accumulation over the converged loop
+    allows rare one-combo flips only."""
+    import numpy as np
+
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig()
+    ctrl_p, res_p = pos_att.solve_channel(cfg, "x", impl="pallas",
+                                          max_sweeps=60)
+    ctrl_s, res_s = pos_att.solve_channel(cfg, "x", impl="stencil",
+                                          max_sweeps=60)
+    np.testing.assert_allclose(np.asarray(res_p.values),
+                               np.asarray(res_s.values),
+                               rtol=1e-5, atol=1e-3)
+    assert (np.asarray(res_p.argmin)
+            != np.asarray(res_s.argmin)).mean() < 1e-3
