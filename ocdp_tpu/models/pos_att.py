@@ -60,6 +60,7 @@ __all__ = [
     "solve_ep",
     "PosAttSolution",
     "get_optimal_path",
+    "receding_horizon",
 ]
 
 CHANNELS = ("x", "y", "z")
@@ -579,3 +580,35 @@ def get_optimal_path(
     X = jnp.concatenate([X, y_fin[None]], axis=0)
     T = jnp.arange(n) * h
     return T, X, F_th, FM
+
+
+def receding_horizon(
+    x0,
+    cfg: Optional[PosAttConfig] = None,
+    *,
+    sol: Optional[PosAttSolution] = None,
+    t_final: Optional[float] = None,
+    impl: str = "pallas",
+    include_failure: bool = False,
+):
+    """High-resolution coupled solve + closed-loop rollout from arbitrary x0
+    (BASELINE.json config #5).
+
+    For this stationary infinite-horizon problem the converged channel
+    policies ARE the receding-horizon controller: the optimal action is
+    re-queried from the current 13-state at every step of the closed loop
+    (the reference's ``get_optimal_path`` pattern, Solver_pos_att.m:484-506,
+    generalized to any x0 / horizon). Pass ``sol`` to reuse solved
+    controllers across initial conditions — the policy is x0-independent,
+    so replanning costs only the rollout.
+
+    Returns ``(sol, (T, X, F_th, FM))``.
+    """
+    if sol is None:
+        if cfg is None:
+            cfg = PosAttConfig.high_res()
+        sol = solve(cfg, include_failure=include_failure, impl=impl)
+    traj = get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+                            t_final=t_final,
+                            use_x_failure=False)
+    return sol, traj

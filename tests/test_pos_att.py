@@ -139,3 +139,23 @@ def test_solve_channel_pallas_matches_stencil():
                                rtol=1e-5, atol=1e-3)
     assert (np.asarray(res_p.argmin)
             != np.asarray(res_s.argmin)).mean() < 1e-3
+
+
+def test_receding_horizon_arbitrary_x0():
+    """BASELINE config #5 surface: solve once, replan closed loops from
+    several arbitrary initial conditions with the same controllers."""
+    import numpy as np
+
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig()          # reference-size grid for CI speed
+    sol = pos_att.solve(cfg, include_failure=False)
+    for dx, pitch in ((-0.05, 2.0), (0.08, -1.5)):
+        x0 = np.array(pos_att.default_x0(pitch_deg=pitch))
+        x0[0] = dx
+        _, (T, X, F_th, FM) = pos_att.receding_horizon(
+            x0, sol=sol, t_final=5.0)
+        X = np.asarray(X)
+        assert np.isfinite(X).all()
+        # position error must shrink in closed loop
+        assert abs(X[-1, 0]) < abs(x0[0])
