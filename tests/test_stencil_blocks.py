@@ -134,3 +134,36 @@ def test_edge_split_matches_gather(blocks):
     np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
                                rtol=3e-6, atol=3e-6)
     assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.998
+
+
+def test_unroll_blocks_matches_scanned_blocks():
+    """unroll_blocks=True (Python-unrolled block sweep inside the chunk
+    scan) must be bitwise-equal to the lax.map block sweep."""
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=24, du=40))
+    v = jnp.asarray(np.random.default_rng(1).normal(size=(24, 24)),
+                    jnp.float32)
+    ref = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, state_blocks=(2, 2))(v)
+    got = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, state_blocks=(2, 2),
+                               unroll_blocks=True)(v)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_lerp_select_matches_gather_to_ulp():
+    """The opt-in select-then-lerp tap combine is ~1-ulp FMA-unstable
+    across program shapes (stencil.py lerp_select field comment) — verify
+    values stay ulp-close to the oracle and argmin flips are rare
+    near-ties only."""
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=24, du=40))
+    v = jnp.asarray(np.random.default_rng(2).normal(size=(24, 24)),
+                    jnp.float32)
+    ref = bellman_backup(v, problem.plan, problem.stage_cost)
+    got = build_stencil_backup(problem.plan, problem.stage_cost,
+                               action_chunk=10, lerp_select=True)(v)
+    np.testing.assert_allclose(np.asarray(got.values),
+                               np.asarray(ref.values), rtol=1e-6, atol=1e-5)
+    assert (np.asarray(got.argmin) != np.asarray(ref.argmin)).mean() < 5e-3
