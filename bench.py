@@ -195,25 +195,14 @@ def bench_position():
 
 def bench_pos_att_channel():
     import jax
-    import jax.numpy as jnp
 
     from ocdp_tpu.engine import value_iteration_converged
     from ocdp_tpu.models import pos_att
-    from ocdp_tpu.ops.pallas_backup6 import PermutedRowLaneBackup
 
     cfg = pos_att.PosAttConfig()      # 30x30x20x15 x 9 combos, early stop
     max_sweeps = cfg.n_stage - 1
     problem = pos_att.build_channel(cfg, "x")
-    ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
-    bk = PermutedRowLaneBackup(
-        problem.plan,
-        [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
-         cfg.Qv * ax[1][None, :, None, None, None] ** 2,
-         cfg.Qt * ax[2][None, None, :, None, None] ** 2,
-         cfg.Qw * ax[3][None, None, None, :, None] ** 2,
-         cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
-                             jnp.float32)[None, None, None, None, :]],
-        perm=(1, 3, 0, 2), row_axes=2)
+    bk = pos_att.build_channel_rowlane_backup(cfg, problem)
     fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
         p_, c_, max_sweeps, check_every=cfg.check_every, tol=cfg.tol,
         backup=b))

@@ -127,35 +127,15 @@ def solve(
     elif impl == "sheargather":
         from ..ops.sheargather import build_sheargather_backup
 
-        # smaller chunks than the stencil's: the shear band must cover
-        # WITHIN-chunk action drift (inter-chunk drift rides the window).
-        # Coarser grids drift more cells per control step, so walk down
-        # until the band fits (golden 35x35x100 needs chunk<=10).
-        chunk = config.du if config.du <= 20 else _largest_divisor_leq(config.du, 20)
-        while True:
-            try:
-                backup = build_sheargather_backup(
-                    problem.plan, problem.stage_cost, action_chunk=chunk)
-                break
-            except ValueError:
-                if chunk == 1:
-                    raise
-                chunk = _largest_divisor_leq(config.du, chunk // 2)
+        backup = _build_shear_walkdown(build_sheargather_backup, problem,
+                                       config.du)
     elif impl == "pallas":
         # fused shear-gather kernel (ops/pallas_shear.py) — the fastest
         # Kirk path: 5.5e9 evals/s on one v5e (NOTES.md round 2)
         from ..ops.pallas_shear import build_pallas_shear_backup
 
-        chunk = config.du if config.du <= 20 else _largest_divisor_leq(config.du, 20)
-        while True:
-            try:
-                backup = build_pallas_shear_backup(
-                    problem.plan, problem.stage_cost, action_chunk=chunk)
-                break
-            except ValueError:
-                if chunk == 1:
-                    raise
-                chunk = _largest_divisor_leq(config.du, chunk // 2)
+        backup = _build_shear_walkdown(build_pallas_shear_backup, problem,
+                                       config.du)
     elif impl == "pallas-lti":
         from ..ops.pallas_lti import build_pallas_lti_backup
 
@@ -186,6 +166,22 @@ def solve(
     result = _solve(problem.plan, problem.stage_cost, config.N - 1,
                     store_policies)
     return KirkSolution(problem, result)
+
+
+def _build_shear_walkdown(build_fn, problem, du: int):
+    """Shear-path chunk heuristic: the band must cover WITHIN-chunk action
+    drift (inter-chunk drift rides the window), and coarser grids drift
+    more cells per control step — walk the chunk down until the band fits
+    (golden 35x35x100 needs chunk<=10)."""
+    chunk = du if du <= 20 else _largest_divisor_leq(du, 20)
+    while True:
+        try:
+            return build_fn(problem.plan, problem.stage_cost,
+                            action_chunk=chunk)
+        except ValueError:
+            if chunk == 1:
+                raise
+            chunk = _largest_divisor_leq(du, chunk // 2)
 
 
 def _largest_divisor_leq(n: int, cap: int) -> int:

@@ -55,6 +55,7 @@ __all__ = [
     "PosAttConfig",
     "CHANNELS",
     "build_channel",
+    "build_channel_rowlane_backup",
     "solve_channel",
     "solve",
     "solve_ep",
@@ -197,6 +198,29 @@ def build_channel(cfg: PosAttConfig, channel: str, *, failure: bool = False) -> 
     return ChannelProblem(cfg, channel, failure, grid, forces, plan, cost)
 
 
+def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem):
+    """Row/lane Pallas kernel under the (v, w, x, t) permutation.
+
+    rows = the action-coupled axes (v' dep (v, u); w' dep (w, u)), lanes =
+    the drift axes (x' = x + h v; t' = t + h w) — Solver_pos_att.m:299-328's
+    structure is exactly row/lane separable after this permutation. The
+    factorized cost terms reproduce ``build_channel``'s stage cost
+    (:784-802) term by term.
+    """
+    from ..ops.pallas_backup6 import PermutedRowLaneBackup
+
+    ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
+    return PermutedRowLaneBackup(
+        problem.plan,
+        [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
+         cfg.Qv * ax[1][None, :, None, None, None] ** 2,
+         cfg.Qt * ax[2][None, None, :, None, None] ** 2,
+         cfg.Qw * ax[3][None, None, None, :, None] ** 2,
+         cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
+                             jnp.float32)[None, None, None, None, :]],
+        perm=(1, 3, 0, 2), row_axes=2)
+
+
 def solve_channel(
     cfg: PosAttConfig,
     channel: str,
@@ -212,27 +236,7 @@ def solve_channel(
     if impl == "stencil":
         backup = build_stencil_backup(problem.plan, problem.stage_cost)
     elif impl == "pallas":
-        # row/lane Pallas kernel under the (v, w, x, t) permutation:
-        # rows = the action-coupled axes (v' dep (v, u); w' dep (w, u)),
-        # lanes = the drift axes (x' = x + h v; t' = t + h w) —
-        # Solver_pos_att.m:299-328's structure is exactly row/lane
-        # separable after this permutation
-        from ..ops.pallas_backup6 import PermutedRowLaneBackup
-
-        backup = PermutedRowLaneBackup(
-            problem.plan,
-            [cfg.Qx * jnp.asarray(problem.grid.axes[0],
-                                  jnp.float32)[:, None, None, None, None]**2,
-             cfg.Qv * jnp.asarray(problem.grid.axes[1],
-                                  jnp.float32)[None, :, None, None, None]**2,
-             cfg.Qt * jnp.asarray(problem.grid.axes[2],
-                                  jnp.float32)[None, None, :, None, None]**2,
-             cfg.Qw * jnp.asarray(problem.grid.axes[3],
-                                  jnp.float32)[None, None, None, :, None]**2,
-             cfg.R * jnp.asarray(
-                 (problem.forces ** 2).sum(axis=1),
-                 jnp.float32)[None, None, None, None, :]],
-            perm=(1, 3, 0, 2), row_axes=2)
+        backup = build_channel_rowlane_backup(cfg, problem)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -592,7 +596,9 @@ def receding_horizon(
     include_failure: bool = False,
 ):
     """High-resolution coupled solve + closed-loop rollout from arbitrary x0
-    (BASELINE.json config #5).
+    (BASELINE.json config #5). ``include_failure`` solves the thruster-0
+    failure x controller AND flies the rollout on it (Solver_pos_att.m:
+    236-240 failure family).
 
     For this stationary infinite-horizon problem the converged channel
     policies ARE the receding-horizon controller: the optimal action is
@@ -610,5 +616,5 @@ def receding_horizon(
         sol = solve(cfg, include_failure=include_failure, impl=impl)
     traj = get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
                             t_final=t_final,
-                            use_x_failure=False)
+                            use_x_failure=include_failure)
     return sol, traj

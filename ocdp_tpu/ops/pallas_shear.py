@@ -30,7 +30,6 @@ XLA shear path, FMA-contraction choices may flip exact f32 ties by 1 ulp.
 
 from __future__ import annotations
 
-import functools
 import itertools
 
 import jax
@@ -41,13 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .backup import BackupResult
 from .interp import InterpPlan
+from .pallas_backup6 import _round_up
 from .sheargather import build_sheargather_backup
 
 __all__ = ["PallasShearBackup", "build_pallas_shear_backup"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @jax.tree_util.register_pytree_node_class
@@ -121,7 +117,7 @@ class PallasShearBackup:
         # device arrays: (C, chunk, S0p, S1p); band-index pairs combined
         C, ch = self.n_chunks, self.chunk
 
-        def dev(a, fill_edge=True):
+        def dev(a):
             # (C, s0, chunk, s1) -> (C, chunk, S0p, S1p), edge-padded
             a = np.moveaxis(np.asarray(a), -2, 1)
             return np.pad(a, ((0, 0), (0, 0), (0, self.S0p - S0),

@@ -244,8 +244,15 @@ def build_sheargather_backup(
             D[k] = np.median(
                 pos.reshape(-1, action_chunk)[:, action_chunk // 2]
                 - pred_mid[k])
-        steps = (Minv @ D if Minv is not None
-                 else D / np.maximum(np.abs(np.diag(M)), 0.25))
+        if Minv is not None:
+            steps = Minv @ D
+        else:
+            # sign-preserving clamped diagonal: |slope| floored at 0.25
+            # but the DIRECTION kept (a negated slope must shift cb the
+            # other way or the band doubles instead of shrinking)
+            dg = np.diag(M)
+            sg = np.where(dg < 0, -1.0, 1.0)
+            steps = D / (sg * np.maximum(np.abs(dg), 0.25))
         cb[c] = np.round(steps * s_arr).astype(np.int64)
 
     # --- search band: residual of lo vs shear prediction, padded +-1 ---

@@ -609,7 +609,14 @@ def build_stencil_backup(
             glob_max = int(max((base_k + t_hi).max(), 0))
         else:
             t_lo, t_hi = int(res.min()), int(res.max())
-            glob_min = int(off_c.min())
+            # pad must keep every (block, chunk) window start >= 0: the
+            # stored start is base_k + GLOBAL t_lo, which can undershoot
+            # off_c.min() when the chunk with the smallest base is not the
+            # chunk with the widest low residual — dynamic_slice would then
+            # clamp and silently shift the live taps (the windows carry the
+            # global band; out-of-band taps have zero weight so the extra
+            # zero-pad rows read exactly 0)
+            glob_min = int(min(off_c.min(), base_k.min() + t_lo))
             glob_max = int(off_c.max())
         if t_hi - t_lo + 2 > max_taps_per_axis:
             raise ValueError(

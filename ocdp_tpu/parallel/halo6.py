@@ -57,9 +57,12 @@ def value_iteration_finite_halo6(
     single-chip :class:`PallasBackup6D` through the finite engine.
     """
     n_dev = mesh.shape[axis_name]
-    probe = PallasBackup6D(plan, cost_terms, **kernel_kw)
-    T = probe.row_tile
-    B = _round_up(-(-probe.NW // n_dev), T)      # block rows, whole tiles
+    row_axes = kernel_kw.get("row_axes", 3)
+    state_shape = plan.query_shape[:-1]
+    NW = int(np.prod(state_shape[:row_axes]))
+    NEp = _round_up(int(np.prod(state_shape[row_axes:])), 128)
+    T = kernel_kw.get("row_tile") or max(8, (32 * 1024 // NEp) // 8 * 8)
+    B = _round_up(-(-NW // n_dev), T)            # block rows, whole tiles
     kw = dict(kernel_kw, row_tile=T, row_pad_to=n_dev * B)
     bk = PallasBackup6D(plan, cost_terms, **kw)
     lo, hi = bk.pad_top, bk.pad_bot

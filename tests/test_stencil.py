@@ -59,3 +59,35 @@ def test_engine_with_stencil_backup_matches_default():
                                rtol=1e-5, atol=1e-5)
     agree = (np.asarray(got.policies) == np.asarray(ref.policies)).mean()
     assert agree > 0.995
+
+
+def test_per_chunk_base_below_global_band_no_clamp():
+    """Regression: a chunk whose base is smaller than another chunk's low
+    residual band used to produce a negative window start; dynamic_slice
+    clamped it and silently shifted the live taps. Engineered 1-D plan:
+    chunk A offsets ~0..2, chunk B offsets ~10..30 (base ~20, residual
+    +-10), so A's stored start = base_A + global t_lo < 0 without the
+    low-pad extension."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocdp_tpu.ops.backup import bellman_backup
+    from ocdp_tpu.ops.interp import build_plan
+
+    axis = np.arange(64, dtype=np.float32)
+    x = jnp.arange(64, dtype=jnp.float32)[:, None]
+    q = jnp.concatenate([x + 0.4,                      # chunk A: offset 0
+                         10.0 + x * (1.0 + 20.0 / 63.0)], axis=1)
+    plan = build_plan([axis], (q,))
+    cost = jnp.zeros((64, 2), jnp.float32)
+    sb = build_stencil_backup(plan, cost, action_chunk=1)
+    v = jnp.asarray(np.random.default_rng(3).normal(size=64), jnp.float32)
+    ref = bellman_backup(v, plan, cost)
+    got = sb(v)
+    # 1-ulp weight-formula noise vs the oracle is expected; the clamp bug
+    # this guards against produced errors of O(1)
+    np.testing.assert_allclose(np.asarray(got.values),
+                               np.asarray(ref.values),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
