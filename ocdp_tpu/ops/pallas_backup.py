@@ -11,7 +11,9 @@ Scope: d=2 state grids with a single action chunk and no per-chunk base
 shifts beyond a static offset — i.e. the position channels
 (position-control/Solver_position.m:131-137), the simplified attitude axes
 (attitude-control/Solver_attitude.m:236-247), and small-control 2-D
-problems. Wider problems use the XLA stencil (``ops/stencil.py``).
+problems. Wider problems use the XLA stencil (``ops/stencil.py``); affine
+geometries use the faster shear kernels (``ops/pallas_shear.py``,
+``ops/pallas_backup6.py`` row/lane).
 
 The tap geometry (band, pads, static bases) is reused from the stencil
 builder so the two paths stay semantically identical.

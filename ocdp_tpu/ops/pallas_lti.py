@@ -30,8 +30,9 @@ Measured on a v5e (full Kirk workload, 199 sweeps): 17.7 ms/sweep =
 stencil (8.2 ms/sweep, 1.23e9 evals/s): the rank-3 ``dot_general`` (the
 only layout Mosaic accepts without lane-collapsing reshapes) lowers to
 many small (100x100)@(100x10) matmuls that underutilize the MXU. Kept as a
-correct, tested alternative and a record of the experiment; the winning
-direction for Kirk remains the stencil (see NOTES.md).
+correct, tested alternative and a record of the experiment; SUPERSEDED by
+``ops/pallas_shear.py`` (the fused shear-gather kernel, 5.5e9 evals/s on
+the same workload — ``kirk.solve(impl="pallas")``).
 """
 
 from __future__ import annotations
