@@ -102,7 +102,8 @@ class PallasBackup6D:
 
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
                  row_tile: int | None = None, interpret: bool | None = None,
-                 max_flat_taps: int = 40, row_pad_to: int | None = None):
+                 max_flat_taps: int = 40, row_pad_to: int | None = None,
+                 row_delta_group: int = 2):
         d = plan.ndim
         q_shape = plan.query_shape
         state_shape = q_shape[:-1]
@@ -122,6 +123,7 @@ class PallasBackup6D:
             row_tile = max(8, (32 * 1024 // self.NEp) // 8 * 8)
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
+        self.row_delta_group = row_delta_group
 
         # --- host-side tap analysis -------------------------------------
         row_strides = [int(np.prod(state_shape[k + 1:nr], dtype=np.int64))
@@ -325,21 +327,33 @@ class PallasBackup6D:
                 w = e_w[k][t] if w is None else w * e_w[k][t]
             we_scr[i, :, :] = w
 
-        # a_scr[j] = lane-interpolated value rows for each flat row shift
-        for j, drow in enumerate(self.row_deltas):
-            shift = drow + self.pad_top
-            aligned = (shift // 8) * 8
-            rem = shift - aligned
-            sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
-            rows = pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
-                else sub[:T, :]
-            acc = None
+        # a_scr[j] = lane-interpolated value rows for each flat row shift.
+        # Row shifts are processed in PAIRS with the lane-combo loop inside:
+        # each we_scr slot is read once per pair instead of once per shift,
+        # halving the kernel's dominant VMEM traffic (the 27x27 weighted
+        # accumulate reads ~3.9 GB/sweep of scratch at the flagship size in
+        # the one-shift-at-a-time order).
+        nj = len(self.row_deltas)
+        for j0 in range(0, nj, self.row_delta_group):
+            group = range(j0, min(j0 + self.row_delta_group, nj))
+            rows_g = []
+            for j in group:
+                shift = self.row_deltas[j] + self.pad_top
+                aligned = (shift // 8) * 8
+                rem = shift - aligned
+                sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
+                rows_g.append(pltpu.roll(sub, (T + 8) - rem, 0)[:T, :]
+                              if rem else sub[:T, :])
+            accs = [None] * len(rows_g)
             for i, dlane in enumerate(self.lane_deltas):
-                lane = pltpu.roll(rows, (-dlane) % NE, 1) \
-                    if dlane % NE else rows
-                term = we_scr[i, :, :] * lane
-                acc = term if acc is None else acc + term
-            a_scr[j, :, :] = acc
+                w = we_scr[i, :, :]
+                for gi, rows in enumerate(rows_g):
+                    lane = pltpu.roll(rows, (-dlane) % NE, 1) \
+                        if dlane % NE else rows
+                    term = w * lane
+                    accs[gi] = term if accs[gi] is None else accs[gi] + term
+            for gi, j in enumerate(group):
+                a_scr[j, :, :] = accs[gi]
 
         # per-axis row tap weights: (T, n_actions) each
         w_w = []
@@ -476,7 +490,7 @@ class PallasBackup6D:
                    "row_tile", "interpret", "row_combos", "lane_combos",
                    "row_deltas", "lane_deltas", "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
-                   "action_digits")
+                   "action_digits", "row_delta_group")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
