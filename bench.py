@@ -80,8 +80,10 @@ def numpy_baseline_stage_seconds(cfg, n_trials=5):
 
 def _fetch(x):
     """Reliable device barrier on the axon tunnel: a scalar host fetch
-    (jax.block_until_ready returns early there, NOTES.md)."""
-    return float(np.asarray(x).ravel()[0])
+    (jax.block_until_ready returns early there, NOTES.md). The scalar is
+    sliced ON DEVICE first — transferring the whole result through the
+    tunnel costs milliseconds at MB sizes and skews the timings."""
+    return float(np.asarray(x.ravel()[0]))
 
 
 def _time_jitted(fn, *args, trials=2):
@@ -261,6 +263,10 @@ def main():
         "pos_att_channel": bench_pos_att_channel,
         "attitude_6d": bench_attitude_6d,
     }
+    unknown = [n.strip() for n in which if n.strip() not in runners]
+    if unknown:
+        raise SystemExit(f"unknown BENCH_FAMILIES entries: {unknown}; "
+                         f"choose from {sorted(runners)}")
     families = {}
     for name in which:
         name = name.strip()
@@ -269,8 +275,12 @@ def main():
         except Exception as e:  # record, don't kill the headline
             families[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    base_stage = numpy_baseline_stage_seconds(kirk.KirkConfig())
-    base_evals_per_s = kirk.KirkConfig().dx**2 * kirk.KirkConfig().du / base_stage
+    kcfg = kirk.KirkConfig()
+    if "kirk" in families:
+        base_stage = numpy_baseline_stage_seconds(kcfg)
+        base_evals_per_s = kcfg.dx**2 * kcfg.du / base_stage
+    else:  # baseline is a Kirk stand-in; skip its cost when kirk is excluded
+        base_evals_per_s = 0.0
 
     head = families.get("kirk", {})
     value = head.get("evals_per_s", 0.0)
@@ -278,7 +288,8 @@ def main():
         "metric": "bellman_backups_per_s_per_chip",
         "value": value,
         "unit": "state-action evals/s",
-        "vs_baseline": round(value / base_evals_per_s, 2) if value else 0.0,
+        "vs_baseline": (round(value / base_evals_per_s, 2)
+                        if value and base_evals_per_s else 0.0),
         "workload": head.get("workload", ""),
         "wall_s": head.get("wall_s", 0.0),
         "baseline_evals_per_s": round(base_evals_per_s, 1),

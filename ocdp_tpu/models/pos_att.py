@@ -392,9 +392,10 @@ def solve_ep(
         full = []
         for a in arrs:
             a = np.asarray(a)
-            if a.shape[-1] == 1:
-                a = np.broadcast_to(a, a.shape[:-1] + (1,))
-            elif a.shape[-1] != n_act:
+            # broadcast-singleton action axes stay singleton (shared by
+            # every action); only true per-action axes narrower than n_act
+            # get padded
+            if a.shape[-1] not in (1, n_act):
                 pad = [(0, 0)] * a.ndim
                 pad[-1] = (0, n_act - a.shape[-1])
                 a = (np.pad(a, pad, mode="edge") if pad_mode == "edge"

@@ -141,17 +141,18 @@ def build_basegather_backup(
         offs.append(off)
         taps.append(list(range(t_lo, t_hi + 2)))      # +1 corner
 
-    # jointly-live tap combos (prune corners no query reaches)
+    # jointly-live tap combos: a combo survives only if SOME single query
+    # reaches that corner on every axis simultaneously (per-axis liveness
+    # alone over-keeps corners when axis residuals are correlated,
+    # inflating the per-sweep gather with zero-weight reads)
     combos = []
     for combo in itertools.product(*taps):
         mask = True
         for k, r in enumerate(combo):
-            live_k = False
             o, f = offs[k], fr[k]
-            live_k = np.any(((o == r) & (1.0 - f != 0.0))
-                            | ((o == r - 1) & (f != 0.0)))
-            mask = mask and live_k
-        if mask:
+            mask = mask & (((o == r) & (1.0 - f != 0.0))
+                           | ((o == r - 1) & (f != 0.0)))
+        if np.any(mask):
             combos.append(combo)
     if len(combos) > max_combos:
         raise ValueError(

@@ -47,11 +47,13 @@ def test_chunk_sizes_agree(golden_problem, chunk):
 
 
 def test_combo_budget_guard(golden_problem):
-    """A chunk so wide its residual band explodes must raise, pointing the
-    caller back at the banded stencil."""
+    """A combo count past the budget must raise, pointing the caller back
+    at the banded stencil. (Joint-live pruning keeps Kirk's correlated
+    geometry compact, so the budget is tightened explicitly here.)"""
     p = golden_problem
     with pytest.raises(ValueError, match="combos"):
-        build_basegather_backup(p.plan, p.stage_cost, action_chunk=100)
+        build_basegather_backup(p.plan, p.stage_cost, action_chunk=100,
+                                max_combos=8)
 
 
 def test_engine_solve_matches_gather(golden_problem):
