@@ -13,8 +13,13 @@ program whose size is O(row taps + lane taps), independent of dimensionality.
 Layout (the crux): flatten the state grid to 2-D
     rows  = the omega cells   (n0*n1*n2),
     lanes = the Euler cells   (n3*n4*n5, padded to 128),
-so the value table is a (NW, NE) VMEM-resident matrix. The attitude
-dynamics factorize over exactly this split (build_full, models/attitude.py):
+so the value table is a (NW, NE) matrix — VMEM-resident when it fits
+(<= _VMEM_TABLE_BUDGET), otherwise HBM-resident with per-tile tap windows
+DMA'd into double-buffered VMEM scratch (``table_hbm``; the DMA cost hides
+under the 27-lane-delta accumulate, measured FASTER than VMEM residency at
+the flagship size and the only mode that runs past ~11M cells). The
+attitude dynamics factorize over exactly this split (build_full,
+models/attitude.py):
 
 * omega' depends only on (omega, u)      -> per-(row, action) queries; a
   next-state row lands a *bounded* number of flat rows away (drift
@@ -103,7 +108,7 @@ class PallasBackup6D:
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
                  row_tile: int | None = None, interpret: bool | None = None,
                  max_flat_taps: int = 40, row_pad_to: int | None = None,
-                 row_delta_group: int = 2):
+                 row_delta_group: int = 2, table_hbm: bool | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
         state_shape = q_shape[:-1]
@@ -124,6 +129,12 @@ class PallasBackup6D:
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
         self.row_delta_group = row_delta_group
+        # None = auto per sweep: tables beyond _VMEM_TABLE_BUDGET stay in
+        # HBM and the kernel DMAs (T+8)-row tap windows into VMEM scratch
+        # (double-buffered) instead of holding the whole table resident —
+        # this lifts the single-chip envelope past the scoped-VMEM wall
+        # (19^3x14^3's 82MB table crashed the VMEM-resident compile).
+        self.table_hbm = table_hbm
 
         # --- host-side tap analysis -------------------------------------
         row_strides = [int(np.prod(state_shape[k + 1:nr], dtype=np.int64))
@@ -287,8 +298,13 @@ class PallasBackup6D:
                     return None
         return m
 
+    def _win_slots(self) -> int:
+        """DMA window buffers in HBM-table mode: the current row-delta
+        group plus one prefetched group (double buffering)."""
+        return min(len(self.row_deltas), 2 * self.row_delta_group)
+
     # ------------------------------------------------------------- kernel
-    def _kernel(self, v_ref, *refs):
+    def _kernel(self, hbm, v_ref, *refs):
         nr, nc = len(self.w_off_j), len(self.e_off_j)
         it = iter(refs)
         w_off = [next(it) for _ in range(nr)]
@@ -298,6 +314,8 @@ class PallasBackup6D:
         c_row, c_lane = next(it), next(it)
         out_v, out_a = next(it), next(it)
         a_scr, we_scr, bc_scr = next(it), next(it), next(it)
+        if hbm:
+            win_scr, win_sem = next(it), next(it)
 
         T, NE = self.row_tile, self.NEp
         row0 = pl.multiple_of(pl.program_id(0) * T, T)
@@ -334,16 +352,45 @@ class PallasBackup6D:
         # accumulate reads ~3.9 GB/sweep of scratch at the flagship size in
         # the one-shift-at-a-time order).
         nj = len(self.row_deltas)
-        for j0 in range(0, nj, self.row_delta_group):
-            group = range(j0, min(j0 + self.row_delta_group, nj))
-            rows_g = []
-            for j in group:
-                shift = self.row_deltas[j] + self.pad_top
-                aligned = (shift // 8) * 8
-                rem = shift - aligned
+        G = self.row_delta_group
+
+        def aligned_rem(j):
+            shift = self.row_deltas[j] + self.pad_top
+            return (shift // 8) * 8, shift % 8
+
+        if hbm:
+            # Table in HBM: each tap window is DMA'd into a VMEM slot; the
+            # NEXT group's windows prefetch while the current one computes
+            # (the 27-lane-delta accumulate is ample cover for a
+            # (T+8, NEp) copy).
+            nslots = self._win_slots()
+
+            def win_dma(j):
+                aligned, _ = aligned_rem(j)
+                return pltpu.make_async_copy(
+                    v_ref.at[pl.ds(row0 + aligned, T + 8), :],
+                    win_scr.at[j % nslots],
+                    win_sem.at[j % nslots])
+
+            for j in range(min(G, nj)):
+                win_dma(j).start()
+
+        def load_rows(j):
+            aligned, rem = aligned_rem(j)
+            if hbm:
+                win_dma(j).wait()
+                sub = win_scr[j % nslots, :, :]
+            else:
                 sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
-                rows_g.append(pltpu.roll(sub, (T + 8) - rem, 0)[:T, :]
-                              if rem else sub[:T, :])
+            return pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
+                else sub[:T, :]
+
+        for j0 in range(0, nj, G):
+            group = range(j0, min(j0 + G, nj))
+            if hbm:
+                for j in range(j0 + G, min(j0 + 2 * G, nj)):
+                    win_dma(j).start()
+            rows_g = [load_rows(j) for j in group]
             accs = [None] * len(rows_g)
             for i, dlane in enumerate(self.lane_deltas):
                 w = we_scr[i, :, :]
@@ -484,13 +531,19 @@ class PallasBackup6D:
     # HTTP 413 at ~50MB; exactly what killed the XLA stencil at scale).
     traced_argument = True   # engines must pass this backup as a jit ARG
 
+    # VMEM-resident tables beyond this auto-switch to the HBM/DMA path.
+    # Headroom math on a v5e (128MB physical, 100MB scoped limit below):
+    # table + A/We/BC scratch (~14MB at T=32) + in/out blocks must fit, and
+    # Mosaic needs slack for spill slots — 48MB tables leave ~2x margin.
+    _VMEM_TABLE_BUDGET = 48 * 1024 * 1024
+
     _LEAF_FIELDS = ("w_off_j", "w_frac_j", "e_off_j", "e_frac_j",
                     "c_row_j", "c_lane_j")
     _AUX_FIELDS = ("state_shape", "n_actions", "NW", "NE", "NEp", "NWp",
                    "row_tile", "interpret", "row_combos", "lane_combos",
                    "row_deltas", "lane_deltas", "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
-                   "action_digits", "row_delta_group")
+                   "action_digits", "row_delta_group", "table_hbm")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
@@ -520,19 +573,39 @@ class PallasBackup6D:
         rows each (``c_lane`` excepted). Returns ``(vals, argm)`` of shape
         (nwp, NEp) — callers slice/reshape.
         """
+        import functools
+
         T, NE = self.row_tile, self.NEp
         grid = (nwp // T,)
+        hbm = self.table_hbm
+        if hbm is None:
+            table_bytes = 4 * int(v2p.shape[0]) * int(v2p.shape[1])
+            hbm = table_bytes > self._VMEM_TABLE_BUDGET
 
         def tile2(a):
             return pl.BlockSpec((T, a.shape[1]), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # whole table
+        table_spec = pl.BlockSpec(memory_space=pl.ANY) if hbm \
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [table_spec]
         in_specs += [tile2(a) for a in args[:-1]]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_lane
 
+        scratch_shapes = [
+            pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
+            pltpu.VMEM((len(self.lane_deltas), T, NE), jnp.float32),
+            pltpu.VMEM((self.bc_slots, T, NE), jnp.float32),
+        ]
+        if hbm:
+            nslots = self._win_slots()
+            scratch_shapes += [
+                pltpu.VMEM((nslots, T + 8, NE), jnp.float32),
+                pltpu.SemaphoreType.DMA((nslots,)),
+            ]
+
         return pl.pallas_call(
-            self._kernel,
+            functools.partial(self._kernel, hbm),
             grid=grid,
             interpret=self.interpret,
             in_specs=in_specs,
@@ -546,11 +619,7 @@ class PallasBackup6D:
                 jax.ShapeDtypeStruct((nwp, NE), jnp.float32),
                 jax.ShapeDtypeStruct((nwp, NE), jnp.int32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
-                pltpu.VMEM((len(self.lane_deltas), T, NE), jnp.float32),
-                pltpu.VMEM((self.bc_slots, T, NE), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 # Mosaic's default scoped-vmem budget is 16MB; the resident
                 # table + the A/We/BC scratch stages need more on v5e
@@ -597,8 +666,7 @@ class PermutedRowLaneBackup:
         if sorted(perm) != list(range(d)):
             raise ValueError(f"perm {perm} is not a permutation of 0..{d-1}")
         self.perm = tuple(perm)
-        self.inv = tuple(int(np.argwhere(np.asarray(perm) == k))
-                         for k in range(d))
+        self.inv = tuple(self.perm.index(k) for k in range(d))
         ap = self.perm + (d,)          # action axis stays last
 
         def t(a):

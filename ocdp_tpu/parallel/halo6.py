@@ -1,10 +1,11 @@
 """Row-sharded 6-D attitude value iteration: halo exchange + Pallas kernel.
 
 Scales the flagship full-attitude solve (attitude-control/
-Solver_attitude.m:261-300) past one chip's VMEM: the single-chip Pallas
-kernel (``ops/pallas_backup6.py``) holds the whole (omega-rows x Euler-lanes)
-value table VMEM-resident, which caps the grid near 11M cells on a v5e
-(NOTES.md "6-D single-chip envelope"). Here the table's ROW axis (the flat
+Solver_attitude.m:261-300) past one chip: the single-chip Pallas kernel
+(``ops/pallas_backup6.py``) holds the (omega-rows x Euler-lanes) value
+table on one chip (VMEM-resident when small, HBM + DMA'd tap windows past
+~11M cells — NOTES.md "6-D single-chip envelope"); past one chip's HBM or
+for wall-clock scaling, here the table's ROW axis (the flat
 omega index) is sharded across a mesh axis; each sweep exchanges only the
 kernel's row-tap reach with ring neighbors over ICI (`ppermute`) — the same
 boundary-slab pattern as ``parallel/halo.py``, at 6-D scale:

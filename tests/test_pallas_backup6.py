@@ -79,6 +79,21 @@ def test_asymmetric_euler_meshes():
                                   np.asarray(ref.argmin))
 
 
+def test_hbm_table_mode_bitwise(small_problem):
+    """The HBM/DMA-window path (tables past the scoped-VMEM budget) must be
+    BITWISE identical to the VMEM-resident path — same rolls, same
+    accumulate order, only the window source differs."""
+    _, grid, plan, cost = small_problem
+    bk_v = build_pallas_backup_6d(plan, cost, row_tile=8, table_hbm=False)
+    bk_h = build_pallas_backup_6d(plan, cost, row_tile=8, table_hbm=True)
+    v = jax.random.uniform(jax.random.PRNGKey(4), grid.shape, jnp.float32)
+    rv, rh = bk_v(v), bk_h(v)
+    np.testing.assert_array_equal(np.asarray(rv.values),
+                                  np.asarray(rh.values))
+    np.testing.assert_array_equal(np.asarray(rv.argmin),
+                                  np.asarray(rh.argmin))
+
+
 def test_rejects_non_separable_plan():
     """Kirk's 2-D plan has action-dependent queries on every axis — the
     row/lane split must refuse it (callers fall back to stencil/gather)."""
