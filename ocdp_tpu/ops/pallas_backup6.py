@@ -68,31 +68,54 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _live_taps(off: np.ndarray, frac: np.ndarray) -> list[int]:
-    """Taps with not-identically-zero weight (cf. stencil.py pruning)."""
-    taps = []
-    for t in range(int(off.min()), int(off.max()) + 2):
-        if np.any((off == t) & (1.0 - frac != 0.0)) or \
-           np.any((off == t - 1) & (frac != 0.0)):
-            taps.append(t)
-    return taps
+def _corner_live_sets(axis_offs, axis_fracs):
+    """Exact jointly-live tap combinations across a group of axes.
 
-
-def _live_combos(axis_taps, axis_offs):
-    """Jointly-live tap combinations across a group of axes.
-
-    A flat combo (t_0..t_{k-1}) is live iff some query element has every
-    axis's offset in {t_k-1, t_k} simultaneously — pruning combos the
-    per-axis bands allow but no actual query reaches.
+    A combo (t_0..t_{k-1}) is live iff some query element's multilinear
+    corner reaches it with nonzero weight on EVERY axis (weight = 1-frac at
+    the lo corner, frac at the hi corner). One encode pass + one
+    ``np.unique`` over the elements — NOT a scan per candidate combo, which
+    took ~9 minutes at the 49.8M-cell envelope (NOTES.md). Returns
+    ``(per_axis_taps, combos)``; per-axis taps are those some live combo
+    references (the kernel builds weight terms only for these).
     """
-    live = []
-    for combo in itertools.product(*axis_taps):
-        mask = True
-        for t, off in zip(combo, axis_offs):
-            mask = mask & ((off == t) | (off == t - 1))
-        if np.any(mask):
-            live.append(combo)
-    return live
+    k = len(axis_offs)
+    base = [int(o.min()) for o in axis_offs]
+    span = [int(o.max()) - b + 1 for o, b in zip(axis_offs, base)]
+    bits_needed = int(np.sum(np.ceil(np.log2(np.maximum(span, 2))))) + 2 * k
+    dtype = np.int32 if bits_needed < 31 else np.int64
+    # in-place accumulation: these arrays are table-sized (NW x NE) — each
+    # avoided temporary is hundreds of MB at the envelope scales
+    enc = np.zeros(np.broadcast_shapes(*(a.shape for a in
+                                         (*axis_offs, *axis_fracs))), dtype)
+    for o, b, s in zip(axis_offs, base, span):
+        np.multiply(enc, s, out=enc)
+        enc += o
+        enc -= b
+    # 2 liveness bits per axis: bit0 = lo corner has weight, bit1 = hi.
+    # In f32, (1-frac)==0 iff frac==1 and frac is always finite here.
+    for fr in axis_fracs:
+        np.left_shift(enc, 2, out=enc)
+        enc |= np.not_equal(fr, np.float32(1.0))
+        hi = np.not_equal(fr, np.float32(0.0)).astype(np.int8)
+        np.left_shift(hi, 1, out=hi)
+        enc |= hi
+    combos = set()
+    for e in np.unique(enc).tolist():
+        bits = [(e >> (2 * (k - 1 - i))) & 3 for i in range(k)]
+        rest = e >> (2 * k)
+        offs = []
+        for s in reversed(span):
+            rest, o = divmod(rest, s)
+            offs.append(o)
+        offs = offs[::-1]
+        for corner in itertools.product((0, 1), repeat=k):
+            if all((b >> c) & 1 for c, b in zip(corner, bits)):
+                combos.add(tuple(o + b + c for o, b, c
+                                 in zip(offs, base, corner)))
+    combos = sorted(combos)
+    taps = [sorted({c[i] for c in combos}) for i in range(k)]
+    return taps, combos
 
 
 @jax.tree_util.register_pytree_node_class
@@ -142,7 +165,7 @@ class PallasBackup6D:
         lane_strides = [int(np.prod(state_shape[k + 1:], dtype=np.int64))
                         for k in range(nr, d)]
 
-        w_off, w_frac, w_taps = [], [], []
+        w_off, w_frac = [], []
         for k in range(nr):
             lo = np.asarray(plan.lo[k])
             fr = np.asarray(plan.frac[k], np.float32)
@@ -151,17 +174,20 @@ class PallasBackup6D:
                 raise ValueError(
                     f"row axis {k} query varies along lane axes — "
                     "not row/lane separable; use the stencil/gather backup")
-            idx = np.arange(state_shape[k]).reshape(
+            idx = np.arange(state_shape[k], dtype=np.int32).reshape(
                 (1,) * k + (-1,) + (1,) * (d - k))
-            off = lo - idx
+            off = lo.astype(np.int32) - idx
             off_b = np.broadcast_to(off, state_shape[:nr] + (1,) * nc
                                     + (self.n_actions,))
             fr_b = np.broadcast_to(fr, off_b.shape)
             w_off.append(off_b.reshape(self.NW, self.n_actions))
             w_frac.append(fr_b.reshape(self.NW, self.n_actions))
-            w_taps.append(_live_taps(w_off[-1], w_frac[-1]))
 
-        e_off, e_frac, e_taps = [], [], []
+        # lane off/frac stay BROADCAST VIEWS here (shape ~ state_shape):
+        # materializing (NW, NE) copies costs several full passes per array
+        # at envelope scales; the padded device arrays below are filled in
+        # ONE strided pass each instead.
+        e_off, e_frac = [], []
         for k in range(nr, d):
             lo = np.asarray(plan.lo[k])
             fr = np.asarray(plan.frac[k], np.float32)
@@ -169,17 +195,15 @@ class PallasBackup6D:
                 raise ValueError(
                     f"lane axis {k} query varies with the action — "
                     "not row/lane separable; use the stencil/gather backup")
-            idx = np.arange(state_shape[k]).reshape(
-                (1,) * k + (-1,) + (1,) * (d - k))
-            off = lo - idx
-            off_b = np.broadcast_to(off, state_shape + (1,))
-            fr_b = np.broadcast_to(fr, off_b.shape)
-            e_off.append(off_b.reshape(self.NW, self.NE))
-            e_frac.append(fr_b.reshape(self.NW, self.NE))
-            e_taps.append(_live_taps(e_off[-1], e_frac[-1]))
+            idx = np.arange(state_shape[k], dtype=np.int32).reshape(
+                (1,) * k + (-1,) + (1,) * (d - 1 - k))
+            e_off.append(lo.astype(np.int32, copy=False)[..., 0] - idx)
+            e_frac.append(fr[..., 0])
 
-        self.row_combos = tuple(_live_combos(w_taps, w_off))   # flat row offs
-        self.lane_combos = tuple(_live_combos(e_taps, e_off))  # flat lane offs
+        w_taps, row_combos = _corner_live_sets(w_off, w_frac)
+        e_taps, lane_combos = _corner_live_sets(e_off, e_frac)
+        self.row_combos = tuple(row_combos)    # flat row offs
+        self.lane_combos = tuple(lane_combos)  # flat lane offs
 
         # Action-digit factorization: when row axis k's (off, frac) depend
         # only on digit k of the C-order action index (true for attitude —
@@ -231,12 +255,25 @@ class PallasBackup6D:
             pad = a[:, :1].repeat(self.NEp - a.shape[1], axis=1)
             return np.concatenate([a, pad], axis=1)
 
+        def lane_full(src, dtype):
+            """(NWp, NEp) array filled from a state-shaped broadcast view:
+            at most one contiguous materialization + one 2-D strided copy
+            (numpy's 6-D fancy assignment paths are ~10x slower)."""
+            out = np.empty((self.NWp, self.NEp), dtype)
+            src2 = np.broadcast_to(src, state_shape).reshape(self.NW, self.NE)
+            out[:self.NW, :self.NE] = src2
+            if self.NE < self.NEp:       # dup lane 0: finite arithmetic
+                out[:self.NW, self.NE:] = out[:self.NW, :1]
+            if self.NW < self.NWp:       # edge rows
+                out[self.NW:] = out[self.NW - 1]
+            return out
+
         self.w_off_j = tuple(jnp.asarray(pad_rows(o).astype(np.int32))
                              for o in w_off)
         self.w_frac_j = tuple(jnp.asarray(pad_rows(f)) for f in w_frac)
-        self.e_off_j = tuple(jnp.asarray(pad_rows(pad_lanes(o)).astype(np.int32))
+        self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
                              for o in e_off)
-        self.e_frac_j = tuple(jnp.asarray(pad_rows(pad_lanes(f)))
+        self.e_frac_j = tuple(jnp.asarray(lane_full(f, np.float32))
                               for f in e_frac)
 
         # --- factorized stage cost --------------------------------------
@@ -532,10 +569,14 @@ class PallasBackup6D:
     traced_argument = True   # engines must pass this backup as a jit ARG
 
     # VMEM-resident tables beyond this auto-switch to the HBM/DMA path.
-    # Headroom math on a v5e (128MB physical, 100MB scoped limit below):
-    # table + A/We/BC scratch (~14MB at T=32) + in/out blocks must fit, and
-    # Mosaic needs slack for spill slots — 48MB tables leave ~2x margin.
-    _VMEM_TABLE_BUDGET = 48 * 1024 * 1024
+    # Measured on a v5e: the flagship 6.3MB table runs 1.7x FASTER
+    # HBM-resident (3.2 vs 5.5 ms/sweep — VMEM residency evidently costs
+    # Mosaic scheduling slack), while the pos-att rowlane 1.2MB table is
+    # ~6% faster VMEM-resident (DMA issue overhead at trivial tile
+    # compute). 4MB splits the two anchors; it is a performance threshold,
+    # not a correctness one (both paths are bitwise-equal), and keeps every
+    # large table clear of the 100MB scoped-VMEM compile wall.
+    _VMEM_TABLE_BUDGET = 4 * 1024 * 1024
 
     _LEAF_FIELDS = ("w_off_j", "w_frac_j", "e_off_j", "e_frac_j",
                     "c_row_j", "c_lane_j")
