@@ -158,16 +158,29 @@ def bench_attitude_axis():
     u = jnp.asarray(cfg.u_vector)[None, None, :]
     plan = build_plan(grid.axes, (w + cfg.h * u / J,
                                   t + cfg.h * w * _quirk(cfg.h, True)))
-    cost = cfg.Qw[0] * w**2 + cfg.Qq[0] * t**2 + cfg.R[0] * u**2
+    cost_terms = [cfg.Qw[0] * w**2, cfg.Qq[0] * t**2, cfg.R[0] * u**2]
+    cost = sum(jnp.broadcast_to(c, plan.query_shape) for c in cost_terms)
     sb = build_stencil_backup(plan, cost)
-    fn = jax.jit(lambda p_, c_: value_iteration_finite(
+    fn_sb = jax.jit(lambda p_, c_: value_iteration_finite(
         p_, c_, sweeps, store_policies=False, backup=sb))
-    dt, _, _ = _time_jitted(fn, plan, cost)
+    dt_sb, _, _ = _time_jitted(fn_sb, plan, cost)
+
+    from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+
+    rl = build_pallas_backup_6d(plan, cost_terms, row_axes=1)
+    fn_rl = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, sweeps, store_policies=False, backup=b))
+    dt_rl, _, _ = _time_jitted(fn_rl, plan, cost, rl)
+
+    impl, dt = min((("stencil", dt_sb), ("rowlane", dt_rl)),
+                   key=lambda p: p[1])
     evals = cfg.n_mesh_w * cfg.n_mesh_t * 3 * sweeps
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
-        "impl": "stencil",
+        "impl": impl,
+        "alternatives": {"stencil": round(dt_sb, 4),
+                         "rowlane": round(dt_rl, 4)},
         "workload": "attitude simplified yaw axis (1000x300x3) x 5999 sweeps",
     }
 

@@ -26,7 +26,8 @@ def _add_common(p):
     p.add_argument("--sweeps", type=int, default=None,
                    help="override number of sweeps")
     p.add_argument("--impl", default="stencil",
-                   choices=["stencil", "gather", "pallas", "pallas-lti", "basegather", "sheargather"])
+                   choices=["stencil", "gather", "pallas", "pallas-lti",
+                            "basegather", "sheargather", "rowlane"])
 
 
 def cmd_solve(args):

@@ -199,6 +199,16 @@ def solve_simplified(
             from ..ops.pallas_backup import build_pallas_backup_2d
 
             backup = build_pallas_backup_2d(plan, cost)
+        elif impl == "rowlane":
+            # (omega, theta) is row/lane separable as-is: omega' dep
+            # (omega, u) = action-coupled row; theta' dep (theta, omega) =
+            # action-independent lane — the same kernel that carries the
+            # 6-D grid (ops/pallas_backup6.py), here at 2-D
+            from ..ops.pallas_backup6 import build_pallas_backup_6d
+
+            backup = build_pallas_backup_6d(
+                plan, [cfg.Qw[i] * w**2, cfg.Qq[i] * t**2,
+                       cfg.R[i] * u**2], row_axes=1)
         elif impl != "gather":
             raise ValueError(f"unknown impl {impl!r}")
 

@@ -17,7 +17,7 @@ def small_cfg(**kw):
     return attitude.AttitudeConfig(**base)
 
 
-@pytest.mark.parametrize("impl", ["gather", "stencil"])
+@pytest.mark.parametrize("impl", ["gather", "stencil", "rowlane"])
 def test_simplified_matches_oracle(impl):
     cfg = small_cfg()
     sol = attitude.solve_simplified(cfg, num_sweeps=6, impl=impl)

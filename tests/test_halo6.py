@@ -39,6 +39,22 @@ def test_halo6_matches_single_chip_bitwise():
     assert got.policies.dtype == np.uint8    # 27 actions -> narrow store
 
 
+def test_halo6_hbm_table_mode_bitwise():
+    """Row sharding composed with the HBM/DMA table path (the combination
+    used past one chip's VMEM at envelope scales)."""
+    grid, plan, cost = _problem(5, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8, table_hbm=False)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, 4, backup=b))(plan, cost, bk)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    got = value_iteration_finite_halo6(plan, cost, 4, mesh, row_tile=8,
+                                       table_hbm=True)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
 def test_halo6_four_devices():
     grid, plan, cost = _problem(7, 4)
     bk = build_pallas_backup_6d(plan, cost, row_tile=8)
