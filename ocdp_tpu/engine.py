@@ -89,7 +89,7 @@ def value_iteration_finite(
     ``checkstagesXJF`` probes, test/Dynamic_Solver.m:212-219) into
     ``SolveResult.probes``.
     """
-    state_shape = plan.query_shape[:-1]
+    state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     if init_values is None:
         v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
     else:
@@ -160,7 +160,7 @@ def value_iteration_converged(
     ``on_check(k_s, errorF, errorU)`` (the reference's
     'stage %d ... errorF %f - errorU %f' print).
     """
-    state_shape = plan.query_shape[:-1]
+    state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     if init_values is None:
         v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
     else:
@@ -258,7 +258,7 @@ def value_iteration_segmented(
     Returns a SolveResult whose ``policies`` (if stored) is a HOST numpy
     array of shape (num_sweeps - start_sweep, *state_shape).
     """
-    state_shape = plan.query_shape[:-1]
+    state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     n_actions = plan.query_shape[-1]
     pdt = policy_dtype or policy_dtype_for(n_actions)
     if init_values is None:

@@ -241,25 +241,49 @@ class FullSolution(NamedTuple):
         return jnp.stack([u[i1], u[i2], u[i3]])
 
 
-def build_full(cfg: AttitudeConfig):
+def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None):
     """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
 
-    All precompute runs pinned to the host CPU backend: these are dozens of
-    tiny broadcast ops, and dispatching each through the TPU tunnel costs
-    ~1s/op (measured: 63s of build time for a 5^3x4^3 grid on axon). The
-    solve transfers the finished plan/cost to the chip in one hop.
+    Small grids run pinned to the host CPU backend: the precompute is dozens
+    of tiny broadcast ops, and dispatching each through the TPU tunnel costs
+    ~1s/op (measured: 63s of build time for a 5^3x4^3 grid on axon); the
+    solve transfers the finished plan/cost to the chip in one hop. Big grids
+    (envelope scales) instead run the whole precompute as ONE jitted TPU
+    dispatch — the table-sized plan arrays are born on the chip and never
+    cross the tunnel (host build at 27^3x18^3 cost 192s, NOTES.md).
     """
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        return _build_full_host(cfg)
-
-
-def _build_full_host(cfg: AttitudeConfig):
     s_w = linspace_axis(cfg.w_min_deg * _DEG, cfg.w_max_deg * _DEG, cfg.n_mesh_w)
     (y_lo, y_hi), (p_lo, p_hi), (r_lo, r_hi) = cfg.euler_ranges
     s_yaw = linspace_axis(y_lo, y_hi, cfg.n_mesh_q)
     s_pitch = linspace_axis(p_lo, p_hi, cfg.n_mesh_q)
     s_roll = linspace_axis(r_lo, r_hi, cfg.n_mesh_q)
     grid = Grid((s_w, s_w, s_w, s_yaw, s_pitch, s_roll))
+    big = int(np.prod(grid.shape)) > 8_000_000
+    on_device = big and jax.default_backend() == "tpu"
+    if flat is None:
+        flat = on_device
+    if on_device:
+        # FLAT plan arrays — (NW, 1, A) / (NW, NE, 1) — stay well-tiled on
+        # the chip; the 6-D broadcast shapes pay ~9.5x TPU layout padding
+        # and cannot even exist in HBM at 27^3x18^3 (NOTES.md)
+        plan, cost_terms = jax.jit(
+            lambda: _plan_and_cost(cfg, grid, s_w, s_yaw, s_pitch, s_roll,
+                                   flat=flat))()
+    else:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            plan, cost_terms = _plan_and_cost(cfg, grid, s_w, s_yaw,
+                                              s_pitch, s_roll, flat=flat)
+    return grid, plan, cost_terms
+
+
+def plan_is_flat(plan) -> bool:
+    """True for plans whose arrays use the flat (rows, lanes, actions)
+    layout (big on-device builds) instead of the d-D broadcast layout."""
+    return len(plan.query_shape) != plan.ndim + 1
+
+
+def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
+                   flat: bool = False):
     J1, J2, J3 = cfg.inertia_diag
     h = cfg.h
     nu = len(cfg.u_vector)
@@ -309,6 +333,33 @@ def _build_full_host(cfg: AttitudeConfig):
         cfg.R[0] * u1**2 + cfg.R[1] * u2**2 + cfg.R[2] * u3**2,
     )
 
+    if flat:
+        # (rows, lanes, actions) layout: rows = flat omega cells, lanes =
+        # flat Euler cells, actions = flat C-order torque index
+        nmw, nmq = cfg.n_mesh_w, cfg.n_mesh_q
+        NW, NE, A = nmw**3, nmq**3, nu**3
+
+        def fw(q):
+            q = jnp.broadcast_to(q, (nmw, nmw, nmw, 1, 1, 1, nu, nu, nu))
+            return q.reshape(NW, 1, A)
+
+        def fe(q):
+            q = jnp.broadcast_to(q, (nmw, nmw, nmw, nmq, nmq, nmq, 1, 1, 1))
+            return q.reshape(NW, NE, 1)
+
+        plan = build_plan(grid.axes, (fw(w1n), fw(w2n), fw(w3n),
+                                      fe(yaw_n), fe(pitch_n), fe(roll_n)))
+        cost_flat = (
+            jnp.broadcast_to(cost_terms[0],
+                             (nmw,) * 3 + (1,) * 6).reshape(NW, 1, 1),
+            jnp.broadcast_to(cost_terms[1],
+                             (1, 1, 1) + (nmq,) * 3 + (1,) * 3
+                             ).reshape(1, NE, 1),
+            jnp.broadcast_to(cost_terms[2],
+                             (1,) * 6 + (nu,) * 3).reshape(1, 1, A),
+        )
+        return plan, cost_flat
+
     def flat_actions(arr):
         """Broadcast the 3 trailing action axes and flatten to one (C-order:
         u1 slowest, u3 fastest = the reference's chained-min order)."""
@@ -322,7 +373,7 @@ def _build_full_host(cfg: AttitudeConfig):
                     (w1n, w2n, w3n, yaw_n, pitch_n, roll_n))
     plan = build_plan(grid.axes, queries)
     cost_terms = tuple(flat_actions(t) for t in cost_terms)
-    return grid, plan, cost_terms
+    return plan, cost_terms
 
 
 def solve_full(
@@ -340,6 +391,11 @@ def solve_full(
     per (block x chunk)."""
     grid, plan, cost = build_full(cfg)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    if plan_is_flat(plan) and impl != "pallas":
+        raise ValueError(
+            f"grids past 8M cells build flat on-device plans, which only "
+            f"the 6-D Pallas kernel consumes — use impl='pallas' "
+            f"(got {impl!r})")
     if state_blocks is None:
         cells = int(np.prod(grid.shape))
         want = max(1, (cells * action_chunk) // 2_000_000)
@@ -361,6 +417,13 @@ def solve_full(
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
+    if plan_is_flat(plan):
+        # the engine only reads shapes once a backup exists; dropping the
+        # real plan frees its multi-GB arrays before the solve (the kernel
+        # holds its own derived arrays)
+        from ..ops.interp import PlanShape
+
+        plan, cost = PlanShape.of(plan), None
     return FullSolution(cfg, grid, _jit_solve(plan, cost, backup, sweeps))
 
 

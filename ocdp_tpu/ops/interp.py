@@ -54,7 +54,13 @@ def axis_locate(axis_vals, queries, dtype=jnp.float32):
     g = jnp.asarray(axis_vals, dtype=dtype)
     q = jnp.asarray(queries, dtype=dtype)
     n = g.shape[0]
-    lo = jnp.clip(jnp.searchsorted(g, q, side="right") - 1, 0, n - 2)
+    # searchsorted('scan') carries its index tensor through a while loop;
+    # on TPU a high-rank carry gets an (8,128)-tiled layout per step (9.5x
+    # padding blowup on 6-D query shapes — OOM'd the 27^3x18^3 on-device
+    # plan build). Flatten for the search, reshape after — elementwise
+    # semantics are unchanged.
+    lo = jnp.clip(jnp.searchsorted(g, q.reshape(-1), side="right") - 1,
+                  0, n - 2).reshape(q.shape)
     g_lo = jnp.take(g, lo)
     g_hi = jnp.take(g, lo + 1)
     frac = (q - g_lo) / (g_hi - g_lo)
@@ -83,6 +89,29 @@ class InterpPlan:
     @property
     def query_shape(self) -> tuple[int, ...]:
         return np.broadcast_shapes(*(x.shape for x in self.lo), *(x.shape for x in self.frac))
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class PlanShape:
+    """Shape-only stand-in for an :class:`InterpPlan`.
+
+    Engines driven by an explicit ``backup`` use the plan solely for
+    ``grid_shape``/``query_shape`` metadata — passing this instead of the
+    real plan keeps multi-GB plan arrays out of device memory for
+    envelope-scale solves (registered static: contributes no tracers).
+    """
+
+    grid_shape: tuple
+    query_shape: tuple
+
+    @property
+    def ndim(self) -> int:
+        return len(self.grid_shape)
+
+    @classmethod
+    def of(cls, plan) -> "PlanShape":
+        return cls(tuple(plan.grid_shape), tuple(plan.query_shape))
 
 
 def build_plan(axes: Sequence[np.ndarray], queries: Sequence, dtype=jnp.float32) -> InterpPlan:

@@ -68,6 +68,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# problems whose (rows x lanes) table exceeds this build their lane arrays
+# and tap liveness on the device (see PallasBackup6D.__init__)
+_DEVICE_BUILD_MIN_ELEMS = 8_000_000
+
+
 def _corner_live_sets(axis_offs, axis_fracs):
     """Exact jointly-live tap combinations across a group of axes.
 
@@ -100,8 +105,13 @@ def _corner_live_sets(axis_offs, axis_fracs):
         hi = np.not_equal(fr, np.float32(0.0)).astype(np.int8)
         np.left_shift(hi, 1, out=hi)
         enc |= hi
+    return _decode_live(np.unique(enc).tolist(), base, span, k)
+
+
+def _decode_live(enc_values, base, span, k):
+    """Expand present encode values into the live corner-combo set."""
     combos = set()
-    for e in np.unique(enc).tolist():
+    for e in enc_values:
         bits = [(e >> (2 * (k - 1 - i))) & 3 for i in range(k)]
         rest = e >> (2 * k)
         offs = []
@@ -116,6 +126,81 @@ def _corner_live_sets(axis_offs, axis_fracs):
     combos = sorted(combos)
     taps = [sorted({c[i] for c in combos}) for i in range(k)]
     return taps, combos
+
+
+def _lane_offs_j(lane_lo, lane_iota):
+    """Traced per-lane-axis offset arrays (lo - own-axis index)."""
+    return [lo.astype(jnp.int32)[..., 0] - it
+            for lo, it in zip(lane_lo, lane_iota)]
+
+
+def _lane_live_device(lane_lo, lane_fr, lane_iota):
+    """Device-side twin of :func:`_corner_live_sets` for the lane group:
+    the encode runs as one jitted dispatch and only a bincount (a few KB)
+    comes back to the host for decoding."""
+    k = len(lane_lo)
+
+    def minmax(los):
+        o = _lane_offs_j(los, lane_iota)
+        return (jnp.stack([x.min() for x in o]),
+                jnp.stack([x.max() for x in o]))
+
+    mins, maxs = jax.jit(minmax)(tuple(lane_lo))
+    base = [int(v) for v in np.asarray(mins)]
+    span = [int(hi) - b + 1 for hi, b in zip(np.asarray(maxs), base)]
+    bits = int(np.sum(np.ceil(np.log2(np.maximum(span, 2))))) + 2 * k
+    nbins = int(np.prod(span)) << (2 * k)
+    if bits >= 31 or nbins > (1 << 24):
+        raise ValueError(
+            f"lane tap encode needs {bits} bits / {nbins} bins — offsets "
+            "reach too far for the row/lane kernel; use the stencil backup")
+
+    def count(los, frs):
+        o = _lane_offs_j(los, lane_iota)
+        enc = None
+        for x, b, s in zip(o, base, span):
+            t = x - b
+            enc = t if enc is None else enc * s + t
+        for fr in frs:
+            f0 = fr.astype(jnp.float32)[..., 0]
+            bv = (f0 != 1.0).astype(jnp.int32) \
+                | ((f0 != 0.0).astype(jnp.int32) << 1)
+            enc = (enc << 2) | bv
+        return jnp.bincount(enc.reshape(-1), length=nbins)
+
+    counts = jax.jit(count)(tuple(lane_lo), tuple(lane_fr))
+    vals = np.nonzero(np.asarray(counts))[0].tolist()
+    return _decode_live(vals, base, span, k)
+
+
+def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
+                        NW, NE, NWp, NEp):
+    """Device-side twin of the host ``lane_full`` fill: padded (NWp, NEp)
+    off/frac arrays built in one jitted dispatch, same pad semantics
+    (lane pads duplicate lane 0, row pads duplicate the edge row).
+    ``full_shape`` is the pre-flatten broadcast target — the grid's state
+    shape for full plans, ``(NW, NE)`` for flat ones."""
+
+    def pad2(a):
+        if NEp > NE:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, :1], (NW, NEp - NE))], 1)
+        if NWp > NW:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (NWp - NW, NEp))], 0)
+        return a
+
+    def build(los, frs):
+        offs_out, frs_out = [], []
+        for off, fr in zip(_lane_offs_j(los, lane_iota), frs):
+            off2 = jnp.broadcast_to(off, full_shape).reshape(NW, NE)
+            fr2 = jnp.broadcast_to(fr.astype(jnp.float32)[..., 0],
+                                   full_shape).reshape(NW, NE)
+            offs_out.append(pad2(off2))
+            frs_out.append(pad2(fr2))
+        return tuple(offs_out), tuple(frs_out)
+
+    return jax.jit(build)(tuple(lane_lo), tuple(lane_fr))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -134,7 +219,16 @@ class PallasBackup6D:
                  row_delta_group: int = 2, table_hbm: bool | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
-        state_shape = q_shape[:-1]
+        # FLAT plans carry their per-axis lo/frac in (rows, lanes, actions)
+        # layout — (NW, 1, A) for row axes, (NW, NE, 1) for lane axes — so
+        # no array ever exists in the d-dimensional broadcast shape. This is
+        # how envelope-scale plans are born ON DEVICE: a 6-D f32 array with
+        # small trailing dims pays ~9.5x TPU tile padding (T(8,128) on the
+        # last two dims), which alone overflows HBM at 27^3x18^3.
+        self.flat = len(q_shape) != d + 1
+        if self.flat and len(q_shape) != 3:
+            raise ValueError("flat plans must have (rows, lanes, A) arrays")
+        state_shape = plan.grid_shape if self.flat else q_shape[:-1]
         if len(state_shape) != d:
             raise ValueError("plan query shape mismatch")
         self.state_shape = state_shape
@@ -142,6 +236,10 @@ class PallasBackup6D:
         nr, nc = row_axes, d - row_axes
         self.NW = int(np.prod(state_shape[:nr]))
         self.NE = int(np.prod(state_shape[nr:]))
+        if self.flat and (q_shape[0] != self.NW or q_shape[1] != self.NE):
+            raise ValueError(
+                f"flat plan rows/lanes {q_shape[:2]} do not match the "
+                f"row_axes={row_axes} split of grid {state_shape}")
         self.NEp = _round_up(self.NE, 128)
         if row_tile is None:
             # Mosaic spills scale with the (T, NEp) tile footprint; T=32 at
@@ -158,8 +256,16 @@ class PallasBackup6D:
         # this lifts the single-chip envelope past the scoped-VMEM wall
         # (19^3x14^3's 82MB table crashed the VMEM-resident compile).
         self.table_hbm = table_hbm
+        # Big problems build lane arrays + tap liveness ON DEVICE as jitted
+        # dispatches: the host path pays ~25s of first-touch page faults per
+        # table-sized numpy allocation on this platform plus a full off/frac
+        # transfer through the TPU tunnel (NOTES.md). Plan arrays are passed
+        # as jit ARGUMENTS, never closures — table-sized closure constants
+        # blow the remote-compile payload limit.
+        self._device_build = (not self.interpret
+                              and self.NW * self.NE > _DEVICE_BUILD_MIN_ELEMS)
 
-        # --- host-side tap analysis -------------------------------------
+        # --- tap analysis -------------------------------------------------
         row_strides = [int(np.prod(state_shape[k + 1:nr], dtype=np.int64))
                        for k in range(nr)]
         lane_strides = [int(np.prod(state_shape[k + 1:], dtype=np.int64))
@@ -169,39 +275,68 @@ class PallasBackup6D:
         for k in range(nr):
             lo = np.asarray(plan.lo[k])
             fr = np.asarray(plan.frac[k], np.float32)
-            if any(s > 1 for s in lo.shape[nr:d]) or \
-               any(s > 1 for s in fr.shape[nr:d]):
+            lane_dims = lo.shape[1:2] if self.flat else lo.shape[nr:d]
+            lane_dims_f = fr.shape[1:2] if self.flat else fr.shape[nr:d]
+            if any(s > 1 for s in lane_dims) or \
+               any(s > 1 for s in lane_dims_f):
                 raise ValueError(
                     f"row axis {k} query varies along lane axes — "
                     "not row/lane separable; use the stencil/gather backup")
-            idx = np.arange(state_shape[k], dtype=np.int32).reshape(
-                (1,) * k + (-1,) + (1,) * (d - k))
-            off = lo.astype(np.int32) - idx
-            off_b = np.broadcast_to(off, state_shape[:nr] + (1,) * nc
-                                    + (self.n_actions,))
-            fr_b = np.broadcast_to(fr, off_b.shape)
-            w_off.append(off_b.reshape(self.NW, self.n_actions))
-            w_frac.append(fr_b.reshape(self.NW, self.n_actions))
+            if self.flat:
+                idx = ((np.arange(self.NW, dtype=np.int32)
+                        // row_strides[k]) % state_shape[k])[:, None]
+                off = lo[:, 0, :].astype(np.int32) - idx
+                fr2 = fr[:, 0, :]
+            else:
+                idx = np.arange(state_shape[k], dtype=np.int32).reshape(
+                    (1,) * k + (-1,) + (1,) * (d - k))
+                off = np.broadcast_to(
+                    lo.astype(np.int32) - idx,
+                    state_shape[:nr] + (1,) * nc + (self.n_actions,)
+                ).reshape(self.NW, self.n_actions)
+                fr2 = np.broadcast_to(
+                    fr, state_shape[:nr] + (1,) * nc + (self.n_actions,)
+                ).reshape(self.NW, self.n_actions)
+            w_off.append(np.broadcast_to(off,
+                                         (self.NW, self.n_actions)))
+            w_frac.append(np.broadcast_to(fr2,
+                                          (self.NW, self.n_actions)))
 
-        # lane off/frac stay BROADCAST VIEWS here (shape ~ state_shape):
-        # materializing (NW, NE) copies costs several full passes per array
-        # at envelope scales; the padded device arrays below are filled in
-        # ONE strided pass each instead.
+        # lane off/frac stay BROADCAST VIEWS here: materializing (NW, NE)
+        # copies costs several full passes per array at envelope scales; the
+        # padded device arrays below are filled in ONE pass each instead.
+        # Per-axis lane iotas: own-axis grid index as a function of the flat
+        # lane position (flat plans) or a broadcast arange (full plans).
         e_off, e_frac = [], []
+        lane_lo, lane_fr, lane_iota = [], [], []
         for k in range(nr, d):
-            lo = np.asarray(plan.lo[k])
-            fr = np.asarray(plan.frac[k], np.float32)
-            if lo.shape[-1] > 1 or fr.shape[-1] > 1:
+            lo_d, fr_d = plan.lo[k], plan.frac[k]
+            if lo_d.shape[-1] > 1 or fr_d.shape[-1] > 1:
                 raise ValueError(
                     f"lane axis {k} query varies with the action — "
                     "not row/lane separable; use the stencil/gather backup")
-            idx = np.arange(state_shape[k], dtype=np.int32).reshape(
-                (1,) * k + (-1,) + (1,) * (d - 1 - k))
-            e_off.append(lo.astype(np.int32, copy=False)[..., 0] - idx)
+            if self.flat:
+                iota = ((np.arange(self.NE, dtype=np.int32)
+                         // lane_strides[k - nr]) % state_shape[k])[None, :]
+            else:
+                iota = np.arange(state_shape[k], dtype=np.int32).reshape(
+                    (1,) * k + (-1,) + (1,) * (d - 1 - k))
+            if self._device_build:
+                lane_lo.append(lo_d)
+                lane_fr.append(fr_d)
+                lane_iota.append(jnp.asarray(iota))
+                continue
+            lo = np.asarray(lo_d)
+            fr = np.asarray(fr_d, np.float32)
+            e_off.append(lo.astype(np.int32, copy=False)[..., 0] - iota)
             e_frac.append(fr[..., 0])
 
         w_taps, row_combos = _corner_live_sets(w_off, w_frac)
-        e_taps, lane_combos = _corner_live_sets(e_off, e_frac)
+        if self._device_build:
+            e_taps, lane_combos = _lane_live_device(lane_lo, lane_fr,
+                                                    lane_iota)
+        else:
+            e_taps, lane_combos = _corner_live_sets(e_off, e_frac)
         self.row_combos = tuple(row_combos)    # flat row offs
         self.lane_combos = tuple(lane_combos)  # flat lane offs
 
@@ -260,7 +395,11 @@ class PallasBackup6D:
             at most one contiguous materialization + one 2-D strided copy
             (numpy's 6-D fancy assignment paths are ~10x slower)."""
             out = np.empty((self.NWp, self.NEp), dtype)
-            src2 = np.broadcast_to(src, state_shape).reshape(self.NW, self.NE)
+            if self.flat:
+                src2 = np.broadcast_to(src, (self.NW, self.NE))
+            else:
+                src2 = np.broadcast_to(src, state_shape).reshape(
+                    self.NW, self.NE)
             out[:self.NW, :self.NE] = src2
             if self.NE < self.NEp:       # dup lane 0: finite arithmetic
                 out[:self.NW, self.NE:] = out[:self.NW, :1]
@@ -271,10 +410,16 @@ class PallasBackup6D:
         self.w_off_j = tuple(jnp.asarray(pad_rows(o).astype(np.int32))
                              for o in w_off)
         self.w_frac_j = tuple(jnp.asarray(pad_rows(f)) for f in w_frac)
-        self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
-                             for o in e_off)
-        self.e_frac_j = tuple(jnp.asarray(lane_full(f, np.float32))
-                              for f in e_frac)
+        if self._device_build:
+            self.e_off_j, self.e_frac_j = _lane_arrays_device(
+                lane_lo, lane_fr, lane_iota,
+                (self.NW, self.NE) if self.flat else state_shape,
+                self.NW, self.NE, self.NWp, self.NEp)
+        else:
+            self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
+                                 for o in e_off)
+            self.e_frac_j = tuple(jnp.asarray(lane_full(f, np.float32))
+                                  for f in e_frac)
 
         # --- factorized stage cost --------------------------------------
         c_row = np.zeros(self.NW, np.float32)
@@ -282,26 +427,32 @@ class PallasBackup6D:
         c_act = np.zeros(self.n_actions, np.float32)
         terms = (list(cost_terms) if isinstance(cost_terms, (tuple, list))
                  else [cost_terms])
+        nd_t = 3 if self.flat else d + 1
         for term in terms:
             t = np.asarray(term, np.float32)
-            if t.ndim != d + 1:
-                t = t.reshape((1,) * (d + 1 - t.ndim) + t.shape)
-            row_dep = any(s > 1 for s in t.shape[:nr])
-            lane_dep = any(s > 1 for s in t.shape[nr:d])
+            if t.ndim != nd_t:
+                t = t.reshape((1,) * (nd_t - t.ndim) + t.shape)
+            if self.flat:
+                row_dep, lane_dep = t.shape[0] > 1, t.shape[1] > 1
+            else:
+                row_dep = any(s > 1 for s in t.shape[:nr])
+                lane_dep = any(s > 1 for s in t.shape[nr:d])
             act_dep = t.shape[-1] > 1
             if row_dep + lane_dep + act_dep > 1:
                 raise ValueError(
                     "cost term couples row/lane/action groups — "
                     "not factorizable for the 6-D kernel")
             if act_dep:
-                c_act += np.broadcast_to(t, (1,) * d + (self.n_actions,)
-                                         ).reshape(self.n_actions)
+                c_act += t.reshape(-1) if self.flat else np.broadcast_to(
+                    t, (1,) * d + (self.n_actions,)).reshape(self.n_actions)
             elif lane_dep:
-                c_lane += np.broadcast_to(
-                    t, (1,) * nr + state_shape[nr:] + (1,)).reshape(self.NE)
+                shape = (1, self.NE, 1) if self.flat \
+                    else (1,) * nr + state_shape[nr:] + (1,)
+                c_lane += np.broadcast_to(t, shape).reshape(self.NE)
             else:
-                c_row += np.broadcast_to(
-                    t, state_shape[:nr] + (1,) * (nc + 1)).reshape(self.NW)
+                shape = (self.NW, 1, 1) if self.flat \
+                    else state_shape[:nr] + (1,) * (nc + 1)
+                c_row += np.broadcast_to(t, shape).reshape(self.NW)
         self.c_row_j = jnp.asarray(pad_rows(c_row[:, None]))
         self.c_lane_j = jnp.asarray(pad_lanes(c_lane[None, :]))
         # per-action scalars become kernel immediates (tiny, host-known)

@@ -59,7 +59,10 @@ def value_iteration_finite_halo6(
     """
     n_dev = mesh.shape[axis_name]
     row_axes = kernel_kw.get("row_axes", 3)
-    state_shape = plan.query_shape[:-1]
+    # flat plans (big on-device builds) carry (rows, lanes, A) arrays;
+    # the grid's true state shape always comes from grid_shape
+    flat = len(plan.query_shape) != plan.ndim + 1
+    state_shape = plan.grid_shape if flat else plan.query_shape[:-1]
     NW = int(np.prod(state_shape[:row_axes]))
     NEp = _round_up(int(np.prod(state_shape[row_axes:])), 128)
     T = kernel_kw.get("row_tile") or max(8, (32 * 1024 // NEp) // 8 * 8)

@@ -94,6 +94,44 @@ def test_hbm_table_mode_bitwise(small_problem):
                                   np.asarray(rh.argmin))
 
 
+def test_flat_plan_matches_full(small_problem):
+    """Flat (rows, lanes, actions) plans — how envelope-scale plans are
+    born on-device — must produce the same backup as the d-D broadcast
+    form (same values bitwise, same argmin)."""
+    cfg, grid, plan, cost = small_problem
+    _, plan_f, cost_f = attitude.build_full(cfg, flat=True)
+    assert attitude.plan_is_flat(plan_f) and not attitude.plan_is_flat(plan)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    bk_f = build_pallas_backup_6d(plan_f, cost_f, row_tile=8)
+    v = jax.random.uniform(jax.random.PRNGKey(5), grid.shape, jnp.float32)
+    r, rf = bk(v), bk_f(v)
+    np.testing.assert_array_equal(np.asarray(r.values), np.asarray(rf.values))
+    np.testing.assert_array_equal(np.asarray(r.argmin), np.asarray(rf.argmin))
+
+
+def test_flat_plan_solve_full_end_to_end(small_problem, monkeypatch):
+    """solve_full over a flat plan (PlanShape shim + engine) == full plan."""
+    cfg, _, _, _ = small_problem
+    orig = attitude.build_full
+    monkeypatch.setattr(attitude, "build_full", lambda c: orig(c, flat=True))
+    sol_f = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
+    monkeypatch.undo()
+    sol = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(sol_f.result.values),
+                                  np.asarray(sol.result.values))
+    np.testing.assert_array_equal(np.asarray(sol_f.result.argmin),
+                                  np.asarray(sol.result.argmin))
+
+
+def test_flat_plan_rejects_stencil_impl(small_problem, monkeypatch):
+    cfg, _, _, _ = small_problem
+    orig = attitude.build_full
+    monkeypatch.setattr(attitude, "build_full",
+                        lambda c: orig(c, flat=True))
+    with pytest.raises(ValueError, match="pallas"):
+        attitude.solve_full(cfg, num_sweeps=1, impl="stencil")
+
+
 def test_rejects_non_separable_plan():
     """Kirk's 2-D plan has action-dependent queries on every axis — the
     row/lane split must refuse it (callers fall back to stencil/gather)."""
