@@ -222,11 +222,18 @@ class PallasShearBackup:
         n0, n1 = self.grid_shape
         v_flat = values.reshape(-1)
 
-        # corner tables (one table-sized gather each), phase-split + pad
+        # all 4 corner tables in ONE row-gather (per-INDEX cost dominates
+        # TPU gathers — 4 separate takes measured 5.5x slower; bitwise-
+        # identical elements), then phase-split + pad
+        offs = [c0 * n1 + c1 for c0, c1 in itertools.product((0, 1),
+                                                             repeat=d)]
+        vp = jnp.pad(v_flat, (0, max(offs)))
+        v4 = jnp.stack([jax.lax.dynamic_slice(vp, (o,), (v_flat.shape[0],))
+                        for o in offs], axis=-1)      # (cells, 4)
+        g = jnp.take(v4, self.corner_idx, axis=0)     # (T_cells, 4)
         views = {}
-        for corner in itertools.product((0, 1), repeat=d):
-            off = corner[0] * n1 + corner[1]
-            t = jnp.take(v_flat, self.corner_idx + off).reshape(self.t_shape)
+        for ci, corner in enumerate(itertools.product((0, 1), repeat=d)):
+            t = g[:, ci].reshape(self.t_shape)
             for p0 in range(u0):
                 for p1 in range(u1):
                     v = t[p0::u0, p1::u1]

@@ -99,15 +99,24 @@ class ShearGatherBackup:
         for k in range(d - 2, -1, -1):
             strides[k] = strides[k + 1] * self.grid_shape[k + 1]
 
-        # 2^d corner tables, one TABLE-sized static gather each. Corner
-        # (c_0..c_{d-1}) lives at corner_idx + sum c_k*stride_k (G <= n-2,
-        # so +1 per axis never leaves the true grid — extrapolation is in
-        # the unclamped fracs, ops/interp.py:46-61).
-        corners = {}
-        for corner in itertools.product((0, 1), repeat=d):
-            off = int(sum(c * strides[k] for k, c in enumerate(corner)))
-            corners[corner] = jnp.take(v_flat, self.corner_idx + off) \
-                .reshape(self.t_shape)
+        # 2^d corner tables in ONE row-gather. Corner (c_0..c_{d-1}) lives
+        # at corner_idx + sum c_k*stride_k (G <= n-2, so +1 per axis never
+        # leaves the true grid — extrapolation is in the unclamped fracs,
+        # ops/interp.py:46-61). TPU gathers cost ~6 ns per INDEX, near-
+        # independent of the slice width (measured: 4 separate takes
+        # 0.97 ms, one minor-dim-2^d row gather 0.18 ms on the Kirk
+        # lattice) — so stack 2^d statically-shifted copies of v_flat on
+        # the minor axis and gather each lattice point's corners as one
+        # row. Bitwise-identical elements either way.
+        corner_list = list(itertools.product((0, 1), repeat=d))
+        offs = [int(sum(c * strides[k] for k, c in enumerate(corner)))
+                for corner in corner_list]
+        vp = jnp.pad(v_flat, (0, max(offs)))
+        v4 = jnp.stack([jax.lax.dynamic_slice(vp, (o,), (v_flat.shape[0],))
+                        for o in offs], axis=-1)      # (cells, 2^d)
+        g = jnp.take(v4, self.corner_idx, axis=0)     # (T_cells, 2^d)
+        corners = {corner: g[:, ci].reshape(self.t_shape)
+                   for ci, corner in enumerate(corner_list)}
 
         # Phase-split every corner table along upsampled axes (ONE strided
         # slice per (corner, phase) per sweep) so the per-(chunk, delta)
