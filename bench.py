@@ -114,7 +114,7 @@ def bench_kirk():
     sweeps = cfg.N - 1
     evals = cfg.dx * cfg.dx * cfg.du * sweeps
 
-    ps = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=20)
+    ps = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50)
     f_b = jax.jit(lambda plan, cost, b: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=b))
     dt_ps, _, _ = _time_jitted(f_b, p.plan, p.stage_cost, ps)

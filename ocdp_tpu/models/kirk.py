@@ -128,14 +128,14 @@ def solve(
         from ..ops.sheargather import build_sheargather_backup
 
         backup = _build_shear_walkdown(build_sheargather_backup, problem,
-                                       config.du)
+                                       config.du, start=20)
     elif impl == "pallas":
         # fused shear-gather kernel (ops/pallas_shear.py) — the fastest
-        # Kirk path: 5.5e9 evals/s on one v5e (NOTES.md round 2)
+        # Kirk path: 1.67e10 evals/s on one v5e (NOTES.md round 2)
         from ..ops.pallas_shear import build_pallas_shear_backup
 
         backup = _build_shear_walkdown(build_pallas_shear_backup, problem,
-                                       config.du)
+                                       config.du, start=50)
     elif impl == "pallas-lti":
         from ..ops.pallas_lti import build_pallas_lti_backup
 
@@ -168,12 +168,14 @@ def solve(
     return KirkSolution(problem, result)
 
 
-def _build_shear_walkdown(build_fn, problem, du: int):
+def _build_shear_walkdown(build_fn, problem, du: int, start: int = 20):
     """Shear-path chunk heuristic: the band must cover WITHIN-chunk action
     drift (inter-chunk drift rides the window), and coarser grids drift
     more cells per control step — walk the chunk down until the band fits
-    (golden 35x35x100 needs chunk<=10)."""
-    chunk = du if du <= 20 else _largest_divisor_leq(du, 20)
+    (golden 35x35x100 needs chunk<=10). The Pallas kernel starts wider
+    (its runtime cost tracks live pairs, not the band, so a looser
+    max_band admits bigger chunks = fewer grid steps)."""
+    chunk = du if du <= start else _largest_divisor_leq(du, start)
     while True:
         try:
             return build_fn(problem.plan, problem.stage_cost,

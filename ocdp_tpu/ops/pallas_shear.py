@@ -51,8 +51,12 @@ class PallasShearBackup:
     """Callable fused shear-gather backup (2-D state grids)."""
 
     def __init__(self, plan: InterpPlan, stage_cost, *,
-                 action_chunk: int = 20, max_band: int = 9,
+                 action_chunk: int = 50, max_band: int = 24,
                  interpret: bool | None = None):
+        # max_band is looser than the XLA path's default 9: runtime cost
+        # here tracks the per-action LIVE pair count (flat ~9 on Kirk as
+        # the chunk grows), not the full band; scratch is compacted to
+        # the staged (live-for-some-action) pairs.
         sg = build_sheargather_backup(plan, stage_cost,
                                       action_chunk=action_chunk,
                                       max_band=max_band)
@@ -126,6 +130,17 @@ class PallasShearBackup:
         j0 = np.asarray(sg.j_idx[0], np.int32)
         j1 = np.asarray(sg.j_idx[1], np.int32)
         jj = j0 * nb1 + j1
+        # static per-action pair liveness (union over chunks, so it stays
+        # chunk-independent for the grid): dead pairs' masks are all-zero
+        # for that action — skipping them is bitwise-identical and cuts
+        # the pair FMA work ~2x on Kirk (mean 9.35 of 20 pairs live)
+        self.live_pairs = tuple(
+            tuple(int(v) for v in np.unique(jj[:, :, a, :]))
+            for a in range(ch))
+        # compact scratch slots: only pairs live for >= 1 action get a
+        # (pair, corner) leaf staged
+        self.staged = tuple(int(v) for v in np.unique(jj))
+        self.pair_slot = {p: i for i, p in enumerate(self.staged)}
         self.jj = jnp.asarray(dev(jj).astype(np.int32))
         self.f0 = jnp.asarray(dev(np.asarray(sg.frac[0], np.float32)))
         self.f1 = jnp.asarray(dev(np.asarray(sg.frac[1], np.float32)))
@@ -139,7 +154,7 @@ class PallasShearBackup:
                    "upsample", "chunk", "n_actions", "n_chunks", "interpret",
                    "S0p", "S1p", "n_slots", "R_w", "L_w", "view_rows",
                    "view_cols", "vr_pad", "vc_pad", "win_origin",
-                   "slot_phase")
+                   "slot_phase", "live_pairs", "staged", "pair_slot")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
@@ -151,7 +166,7 @@ class PallasShearBackup:
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         for f, v in zip(cls._AUX_FIELDS, aux):
-            if f in ("view_rows", "view_cols"):
+            if f in ("view_rows", "view_cols", "pair_slot"):
                 v = dict(v)
             setattr(obj, f, v)
         for f, v in zip(cls._LEAF_FIELDS, leaves):
@@ -165,26 +180,34 @@ class PallasShearBackup:
         n_pairs = nb0 * nb1
         c = pl.program_id(0)
 
-        # stage the per-pair, per-corner leaf windows in scratch
-        for d0 in range(nb0):
-            for d1 in range(nb1):
-                pair = d0 * nb1 + d1
-                r0, c0 = d0 // u0, d1 // u1
-                for corner in range(4):
-                    slot = corner * (u0 * u1) + (d0 % u0) * u1 + (d1 % u1)
-                    leaves[pair * 4 + corner, :, :] = \
-                        w_ref[0, slot, r0:r0 + self.S0p,
-                              c0:c0 + self.S1p]
+        # stage the per-pair, per-corner leaf windows in scratch (compact
+        # slots: pairs live for at least one action only)
+        for si, pair in enumerate(self.staged):
+            d0, d1 = pair // nb1, pair % nb1
+            r0, c0 = d0 // u0, d1 // u1
+            for corner in range(4):
+                slot = corner * (u0 * u1) + (d0 % u0) * u1 + (d1 % u1)
+                leaves[si * 4 + corner, :, :] = \
+                    w_ref[0, slot, r0:r0 + self.S0p,
+                          c0:c0 + self.S1p]
 
         best_v = None
         best_a = None
         for a in range(self.chunk):
             jj = jj_ref[0, a]
             acc = [None] * 4
-            for pair in range(n_pairs):
-                m = jj == pair
+            for pair in self.live_pairs[a]:
+                # 0/1 float mask + multiply-add: Mosaic contracts the
+                # mul+add to an FMA (6 VPU ops/pair vs 9 for the
+                # select+add chain). Exact: the mask is exactly 0.0/1.0
+                # and the leaves are finite, so m*leaf and the running
+                # sum match the select form bitwise. Pairs outside the
+                # action's static live set (never matched by any cell in
+                # any chunk) have all-zero masks — skipped.
+                m = (jj == pair).astype(jnp.float32)
+                si = self.pair_slot[pair]
                 for corner in range(4):
-                    t = jnp.where(m, leaves[pair * 4 + corner, :, :], 0.0)
+                    t = m * leaves[si * 4 + corner, :, :]
                     acc[corner] = t if acc[corner] is None \
                         else acc[corner] + t
             f0, f1 = f0_ref[0, a], f1_ref[0, a]
@@ -254,7 +277,6 @@ class PallasShearBackup:
             wins.append(jnp.stack(slots))
         W = jnp.stack(wins)          # (C, n_slots, R_w, L_w)
 
-        nb0, nb1 = self.n_band
         out = pl.pallas_call(
             self._kernel,
             grid=(self.n_chunks,),
@@ -287,7 +309,7 @@ class PallasShearBackup:
                 jax.ShapeDtypeStruct((self.S0p, self.S1p), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((nb0 * nb1 * 4, self.S0p, self.S1p),
+                pltpu.VMEM((len(self.staged) * 4, self.S0p, self.S1p),
                            jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
