@@ -134,8 +134,9 @@ def solve(
         # Kirk path: 1.67e10 evals/s on one v5e (NOTES.md round 2)
         from ..ops.pallas_shear import build_pallas_shear_backup
 
-        backup = _build_shear_walkdown(build_pallas_shear_backup, problem,
-                                       config.du, start=50)
+        backup = _build_shear_walkdown(
+            build_pallas_shear_backup, problem, config.du, start=50,
+            cost_terms=_separable_cost_terms(config))
     elif impl == "pallas-lti":
         from ..ops.pallas_lti import build_pallas_lti_backup
 
@@ -168,7 +169,23 @@ def solve(
     return KirkSolution(problem, result)
 
 
-def _build_shear_walkdown(build_fn, problem, du: int, start: int = 20):
+def _separable_cost_terms(config: KirkConfig):
+    """(state, action) split of the stage cost, with the exact broadcast
+    expressions ``build`` uses so the kernel's re-add is bitwise equal
+    (g_D associates as (Q1 x1^2 + Q2 x2^2) + R u^2,
+    test/Dynamic_Solver.m:196-200)."""
+    s_r = linspace_axis(config.x_min, config.x_max, config.dx)
+    u_mesh = linspace_axis(config.u_min, config.u_max, config.du)
+    x1 = jnp.asarray(s_r)[:, None]
+    x2 = jnp.asarray(s_r)[None, :]
+    u = jnp.asarray(u_mesh)
+    q1, q2 = config.Q
+    return (q1 * x1**2 + q2 * x2**2).astype(jnp.float32), \
+        (config.R * u**2).astype(jnp.float32)
+
+
+def _build_shear_walkdown(build_fn, problem, du: int, start: int = 20,
+                          **kw):
     """Shear-path chunk heuristic: the band must cover WITHIN-chunk action
     drift (inter-chunk drift rides the window), and coarser grids drift
     more cells per control step — walk the chunk down until the band fits
@@ -179,7 +196,7 @@ def _build_shear_walkdown(build_fn, problem, du: int, start: int = 20):
     while True:
         try:
             return build_fn(problem.plan, problem.stage_cost,
-                            action_chunk=chunk)
+                            action_chunk=chunk, **kw)
         except ValueError:
             if chunk == 1:
                 raise

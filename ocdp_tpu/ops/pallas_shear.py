@@ -52,11 +52,19 @@ class PallasShearBackup:
 
     def __init__(self, plan: InterpPlan, stage_cost, *,
                  action_chunk: int = 50, max_band: int = 24,
-                 interpret: bool | None = None):
+                 cost_terms=None, interpret: bool | None = None):
         # max_band is looser than the XLA path's default 9: runtime cost
         # here tracks the per-action LIVE pair count (flat ~9 on Kirk as
         # the chunk grows), not the full band; scratch is compacted to
         # the staged (live-for-some-action) pairs.
+        #
+        # cost_terms: optional (state_cost (S0, S1), action_cost (du,))
+        # separable split of ``stage_cost``. The full (C, chunk, S0p, S1p)
+        # cost stack is the largest single HBM stream of the sweep (53MB
+        # on full Kirk); when the stage cost factors as state + action the
+        # kernel re-adds the two small parts instead — verified BITWISE
+        # against ``stage_cost`` at build (f32 adds of identical operands
+        # in the identical association are deterministic).
         sg = build_sheargather_backup(plan, stage_cost,
                                       action_chunk=action_chunk,
                                       max_band=max_band)
@@ -127,6 +135,26 @@ class PallasShearBackup:
             return np.pad(a, ((0, 0), (0, 0), (0, self.S0p - S0),
                               (0, self.S1p - S1)), mode="edge")
 
+        self.state_cost = None
+        self.action_cost = None
+        self.cost = None
+        if cost_terms is not None:
+            s_c = np.asarray(cost_terms[0], np.float32)
+            a_c = np.asarray(cost_terms[1], np.float32)
+            if s_c.shape != (S0, S1) or a_c.shape != (self.n_actions,):
+                raise ValueError("cost_terms shapes must be (S0, S1), (du,)")
+            recomposed = s_c[:, :, None] + a_c[None, None, :]
+            full = np.broadcast_to(
+                np.asarray(stage_cost, np.float32),
+                (S0, S1, self.n_actions))
+            if not np.array_equal(recomposed, full):
+                raise ValueError(
+                    "cost_terms do not recompose stage_cost bitwise")
+            self.state_cost = jnp.asarray(np.pad(
+                s_c, ((0, self.S0p - S0), (0, self.S1p - S1)), mode="edge"))
+            self.action_cost = jnp.asarray(
+                a_c.reshape(self.n_chunks, self.chunk))
+
         j0 = np.asarray(sg.j_idx[0], np.int32)
         j1 = np.asarray(sg.j_idx[1], np.int32)
         jj = j0 * nb1 + j1
@@ -144,12 +172,14 @@ class PallasShearBackup:
         self.jj = jnp.asarray(dev(jj).astype(np.int32))
         self.f0 = jnp.asarray(dev(np.asarray(sg.frac[0], np.float32)))
         self.f1 = jnp.asarray(dev(np.asarray(sg.frac[1], np.float32)))
-        self.cost = jnp.asarray(dev(np.asarray(sg.cost, np.float32)))
+        if self.state_cost is None:
+            self.cost = jnp.asarray(dev(np.asarray(sg.cost, np.float32)))
 
     # pytree: arrays as leaves (traced jit argument — the jj/frac/cost
     # stacks must not become compile-payload constants, NOTES.md)
     traced_argument = True
-    _LEAF_FIELDS = ("corner_idx", "jj", "f0", "f1", "cost")
+    _LEAF_FIELDS = ("corner_idx", "jj", "f0", "f1", "cost",
+                    "state_cost", "action_cost")
     _AUX_FIELDS = ("grid_shape", "state_shape", "t_shape", "n_band",
                    "upsample", "chunk", "n_actions", "n_chunks", "interpret",
                    "S0p", "S1p", "n_slots", "R_w", "L_w", "view_rows",
@@ -175,9 +205,22 @@ class PallasShearBackup:
 
     def _kernel(self, w_ref, jj_ref, f0_ref, f1_ref, cost_ref,
                 out_v, out_a, leaves):
+        self._kernel_impl(w_ref, jj_ref, f0_ref, f1_ref,
+                          lambda a: cost_ref[0, a], out_v, out_a, leaves)
+
+    def _kernel_sep(self, w_ref, jj_ref, f0_ref, f1_ref, sc_ref, ac_ref,
+                    out_v, out_a, leaves):
+        # separable cost: state block + per-action scalar, re-added with
+        # the build-verified association (bitwise == the full cost stack)
+        c = pl.program_id(0)
+        self._kernel_impl(w_ref, jj_ref, f0_ref, f1_ref,
+                          lambda a: sc_ref[:, :] + ac_ref[c, a],
+                          out_v, out_a, leaves)
+
+    def _kernel_impl(self, w_ref, jj_ref, f0_ref, f1_ref, cost_of,
+                     out_v, out_a, leaves):
         nb0, nb1 = self.n_band
         u0, u1 = self.upsample
-        n_pairs = nb0 * nb1
         c = pl.program_id(0)
 
         # stage the per-pair, per-corner leaf windows in scratch (compact
@@ -203,7 +246,8 @@ class PallasShearBackup:
                 # and the leaves are finite, so m*leaf and the running
                 # sum match the select form bitwise. Pairs outside the
                 # action's static live set (never matched by any cell in
-                # any chunk) have all-zero masks — skipped.
+                # any chunk) have all-zero masks — skipped. (A bilinear-
+                # combine-then-mask form was measured 1.4% slower.)
                 m = (jj == pair).astype(jnp.float32)
                 si = self.pair_slot[pair]
                 for corner in range(4):
@@ -216,7 +260,7 @@ class PallasShearBackup:
                 + ((1.0 - f0) * f1) * acc[1] \
                 + (f0 * (1.0 - f1)) * acc[2] \
                 + (f0 * f1) * acc[3] \
-                + cost_ref[0, a]
+                + cost_of(a)
             a_idx = c * self.chunk + a
             if best_v is None:
                 best_v = tot
@@ -277,27 +321,34 @@ class PallasShearBackup:
             wins.append(jnp.stack(slots))
         W = jnp.stack(wins)          # (C, n_slots, R_w, L_w)
 
+        qspec = pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
+                             lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, self.n_slots, self.R_w, self.L_w),
+                         lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qspec, qspec, qspec,
+        ]
+        if self.state_cost is not None:
+            kernel = self._kernel_sep
+            inputs = (self.jj, self.f0, self.f1,
+                      self.state_cost, self.action_cost)
+            in_specs += [
+                pl.BlockSpec((self.S0p, self.S1p), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.n_chunks, self.chunk), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+        else:
+            kernel = self._kernel
+            inputs = (self.jj, self.f0, self.f1, self.cost)
+            in_specs.append(qspec)
         out = pl.pallas_call(
-            self._kernel,
+            kernel,
             grid=(self.n_chunks,),
             interpret=self.interpret,
-            in_specs=[
-                pl.BlockSpec((1, self.n_slots, self.R_w, self.L_w),
-                             lambda c: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
-                             lambda c: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
-                             lambda c: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
-                             lambda c: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, self.chunk, self.S0p, self.S1p),
-                             lambda c: (c, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((self.S0p, self.S1p), lambda c: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -315,7 +366,7 @@ class PallasShearBackup:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(W, self.jj, self.f0, self.f1, self.cost)
+        )(W, *inputs)
         S0, S1 = self.state_shape
         return BackupResult(out[0][:S0, :S1], out[1][:S0, :S1])
 

@@ -40,7 +40,7 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     cfg = kirk.KirkConfig()
     p = kirk.build(cfg)
-    bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=20)
+    bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50)
     n0, n1 = bk.grid_shape
     v = jax.random.normal(jax.random.PRNGKey(0), (n0, n1), jnp.float32)
 

@@ -40,10 +40,13 @@ def main():
     vmax = float(jnp.max(jnp.abs(r_k.values - r_o.values)))
     print(f"parity: argmin agree {agree:.6f}, |dV|max {vmax:.2e}", flush=True)
 
+    from ocdp_tpu.models.kirk import _separable_cost_terms
+    ct = _separable_cost_terms(cfg)
     f_b = jax.jit(lambda plan, cost, b: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=b))
     for ch in chunks:
-        bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=ch)
+        bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=ch,
+                                       cost_terms=ct)
         t0 = time.perf_counter()
         fetch(f_b(p.plan, p.stage_cost, bk).values)
         comp = time.perf_counter() - t0

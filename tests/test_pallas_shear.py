@@ -58,6 +58,33 @@ def test_engine_solve_matches_gather(golden_problem):
             != np.asarray(got.policies)).mean() < 1e-3
 
 
+def test_separable_cost_bitwise(golden_problem):
+    """cost_terms mode (state + action split re-added in-kernel) is
+    bitwise equal to the full cost stack, and a wrong split is rejected
+    at build."""
+    from ocdp_tpu.models.kirk import _separable_cost_terms
+
+    p = golden_problem
+    ct = _separable_cost_terms(kirk.KirkConfig.golden())
+    bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=10,
+                                   cost_terms=ct)
+    bk_full = build_pallas_shear_backup(p.plan, p.stage_cost,
+                                        action_chunk=10)
+    v = jax.random.uniform(jax.random.PRNGKey(2), p.plan.grid_shape,
+                           jnp.float32)
+    out = jax.jit(lambda b, v_: b(v_))(bk, v)
+    ref = jax.jit(lambda b, v_: b(v_))(bk_full, v)
+    np.testing.assert_array_equal(np.asarray(out.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(out.argmin),
+                                  np.asarray(ref.argmin))
+
+    bad = (ct[0] + 1e-3, ct[1])
+    with pytest.raises(ValueError, match="recompose"):
+        build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=10,
+                                  cost_terms=bad)
+
+
 def test_solve_impl_pallas(golden_problem):
     """kirk.solve(impl='pallas') routes to the kernel and matches the
     stencil solve's rollout."""
