@@ -106,6 +106,7 @@ def bench_kirk():
 
     from ocdp_tpu.engine import value_iteration_finite
     from ocdp_tpu.models import kirk
+    from ocdp_tpu.models.kirk import _separable_cost_terms
     from ocdp_tpu.ops.pallas_shear import build_pallas_shear_backup
     from ocdp_tpu.ops.sheargather import build_sheargather_backup
 
@@ -114,7 +115,9 @@ def bench_kirk():
     sweeps = cfg.N - 1
     evals = cfg.dx * cfg.dx * cfg.du * sweeps
 
-    ps = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50)
+    # the exact configuration kirk.solve(impl='pallas') ships
+    ps = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50,
+                                   cost_terms=_separable_cost_terms(cfg))
     f_b = jax.jit(lambda plan, cost, b: value_iteration_finite(
         plan, cost, sweeps, store_policies=False, backup=b))
     dt_ps, _, _ = _time_jitted(f_b, p.plan, p.stage_cost, ps)

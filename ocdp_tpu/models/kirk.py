@@ -93,8 +93,10 @@ def build(config: KirkConfig = KirkConfig()) -> KirkProblem:
     x1n = a11 * x1 + a12 * x2 + b1 * u
     x2n = a21 * x1 + a22 * x2 + b2 * u
     plan = build_plan(grid.axes, (x1n, x2n))
-    q1, q2 = config.Q
-    stage_cost = q1 * x1**2 + q2 * x2**2 + config.R * u**2
+    # built FROM the separable split so the recompose invariant the shear
+    # kernel's cost_terms mode verifies holds by construction
+    s_c, a_c = _separable_cost_terms(config)
+    stage_cost = s_c[:, :, None] + a_c[None, None, :]
     stage_cost = jnp.broadcast_to(stage_cost, (config.dx, config.dx, config.du)).astype(jnp.float32)
     return KirkProblem(config, grid, u_mesh, plan, stage_cost)
 
@@ -131,7 +133,7 @@ def solve(
                                        config.du, start=20)
     elif impl == "pallas":
         # fused shear-gather kernel (ops/pallas_shear.py) — the fastest
-        # Kirk path: 1.67e10 evals/s on one v5e (NOTES.md round 2)
+        # Kirk path: 1.66e10 evals/s on one v5e (NOTES.md round 2)
         from ..ops.pallas_shear import build_pallas_shear_backup
 
         backup = _build_shear_walkdown(
@@ -170,9 +172,10 @@ def solve(
 
 
 def _separable_cost_terms(config: KirkConfig):
-    """(state, action) split of the stage cost, with the exact broadcast
-    expressions ``build`` uses so the kernel's re-add is bitwise equal
-    (g_D associates as (Q1 x1^2 + Q2 x2^2) + R u^2,
+    """(state, action) split of the stage cost — the single source of the
+    cost expressions; ``build`` recomposes ``stage_cost`` from this split,
+    so the shear kernel's in-kernel re-add is bitwise equal by
+    construction (g_D associates as (Q1 x1^2 + Q2 x2^2) + R u^2,
     test/Dynamic_Solver.m:196-200)."""
     s_r = linspace_axis(config.x_min, config.x_max, config.dx)
     u_mesh = linspace_axis(config.u_min, config.u_max, config.du)
@@ -192,12 +195,16 @@ def _build_shear_walkdown(build_fn, problem, du: int, start: int = 20,
     (golden 35x35x100 needs chunk<=10). The Pallas kernel starts wider
     (its runtime cost tracks live pairs, not the band, so a looser
     max_band admits bigger chunks = fewer grid steps)."""
+    from ..ops.sheargather import ShearBandError
+
     chunk = du if du <= start else _largest_divisor_leq(du, start)
     while True:
         try:
             return build_fn(problem.plan, problem.stage_cost,
                             action_chunk=chunk, **kw)
-        except ValueError:
+        except ShearBandError:
+            # only band/scratch failures shrink the chunk; any other
+            # ValueError (bad cost_terms, non-2-D plan) propagates
             if chunk == 1:
                 raise
             chunk = _largest_divisor_leq(du, chunk // 2)

@@ -41,9 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .backup import BackupResult
 from .interp import InterpPlan
 from .pallas_backup6 import _round_up
-from .sheargather import build_sheargather_backup
+from .sheargather import ShearBandError, build_sheargather_backup
 
 __all__ = ["PallasShearBackup", "build_pallas_shear_backup"]
+
+# leaf-scratch VMEM budget (the pallas_call sets vmem_limit_bytes=64MB;
+# leave room for the W window + query blocks + outputs)
+_SCRATCH_BUDGET = 40 * 1024 * 1024
 
 
 @jax.tree_util.register_pytree_node_class
@@ -169,6 +173,18 @@ class PallasShearBackup:
         # (pair, corner) leaf staged
         self.staged = tuple(int(v) for v in np.unique(jj))
         self.pair_slot = {p: i for i, p in enumerate(self.staged)}
+        # fail loudly at BUILD when the leaf scratch cannot fit VMEM
+        # (the loose max_band admits wide bands only because runtime cost
+        # tracks LIVE pairs; a geometry that stages too many live pairs
+        # must fall back to a smaller chunk / the stencil, not die inside
+        # Mosaic at first invocation)
+        scratch_bytes = len(self.staged) * 4 * self.S0p * self.S1p * 4
+        if scratch_bytes > _SCRATCH_BUDGET:
+            raise ShearBandError(
+                f"{len(self.staged)} staged band pairs need "
+                f"{scratch_bytes >> 20} MB of leaf scratch "
+                f"(budget {_SCRATCH_BUDGET >> 20} MB); use a smaller "
+                "action_chunk or the banded stencil")
         self.jj = jnp.asarray(dev(jj).astype(np.int32))
         self.f0 = jnp.asarray(dev(np.asarray(sg.frac[0], np.float32)))
         self.f1 = jnp.asarray(dev(np.asarray(sg.frac[1], np.float32)))
@@ -184,7 +200,7 @@ class PallasShearBackup:
                    "upsample", "chunk", "n_actions", "n_chunks", "interpret",
                    "S0p", "S1p", "n_slots", "R_w", "L_w", "view_rows",
                    "view_cols", "vr_pad", "vc_pad", "win_origin",
-                   "slot_phase", "live_pairs", "staged", "pair_slot")
+                   "slot_phase", "live_pairs", "staged")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
@@ -196,9 +212,10 @@ class PallasShearBackup:
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         for f, v in zip(cls._AUX_FIELDS, aux):
-            if f in ("view_rows", "view_cols", "pair_slot"):
+            if f in ("view_rows", "view_cols"):
                 v = dict(v)
             setattr(obj, f, v)
+        obj.pair_slot = {p: i for i, p in enumerate(obj.staged)}
         for f, v in zip(cls._LEAF_FIELDS, leaves):
             setattr(obj, f, v)
         return obj
@@ -240,18 +257,17 @@ class PallasShearBackup:
             jj = jj_ref[0, a]
             acc = [None] * 4
             for pair in self.live_pairs[a]:
-                # 0/1 float mask + multiply-add: Mosaic contracts the
-                # mul+add to an FMA (6 VPU ops/pair vs 9 for the
-                # select+add chain). Exact: the mask is exactly 0.0/1.0
-                # and the leaves are finite, so m*leaf and the running
-                # sum match the select form bitwise. Pairs outside the
-                # action's static live set (never matched by any cell in
-                # any chunk) have all-zero masks — skipped. (A bilinear-
-                # combine-then-mask form was measured 1.4% slower.)
-                m = (jj == pair).astype(jnp.float32)
+                # select + add (exact copy: exactly one pair matches per
+                # query; zeros add exactly, and non-matching lanes stay
+                # 0.0 even for non-finite table entries — an m*leaf FMA
+                # form measured the same speed but turns inf into NaN).
+                # Pairs outside the action's static live set (never
+                # matched by any cell in any chunk) are skipped. (A
+                # bilinear-combine-then-mask form measured 1.4% slower.)
+                m = jj == pair
                 si = self.pair_slot[pair]
                 for corner in range(4):
-                    t = m * leaves[si * 4 + corner, :, :]
+                    t = jnp.where(m, leaves[si * 4 + corner, :, :], 0.0)
                     acc[corner] = t if acc[corner] is None \
                         else acc[corner] + t
             f0, f1 = f0_ref[0, a], f1_ref[0, a]

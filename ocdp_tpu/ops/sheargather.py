@@ -54,7 +54,13 @@ import numpy as np
 from .backup import BackupResult
 from .interp import InterpPlan
 
-__all__ = ["ShearGatherBackup", "build_sheargather_backup"]
+__all__ = ["ShearBandError", "ShearGatherBackup", "build_sheargather_backup"]
+
+
+class ShearBandError(ValueError):
+    """The fitted shear cannot serve this (geometry, action_chunk): the
+    search band or live-pair scratch would be too large. Retrying with a
+    smaller chunk may succeed (kirk._build_shear_walkdown does)."""
 
 
 @jax.tree_util.register_dataclass
@@ -284,7 +290,7 @@ def build_sheargather_backup(
         band_lo[k] = int(np.floor(r.min() / slope)) - 1
         band_hi[k] = int(np.ceil(r.max() / slope)) + 1
         if band_hi[k] - band_lo[k] + 1 > max_band:
-            raise ValueError(
+            raise ShearBandError(
                 f"axis {k}: band {band_hi[k]-band_lo[k]+1} exceeds "
                 f"max_band={max_band}; geometry too far from affine")
 
@@ -346,7 +352,7 @@ def build_sheargather_backup(
                 matched[c] |= fresh
     if not matched.all():
         miss = int((~matched).sum())
-        raise ValueError(
+        raise ShearBandError(
             f"{miss} queries have no in-band shear match; geometry too "
             "far from affine — use the banded stencil")
 
