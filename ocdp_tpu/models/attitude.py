@@ -124,6 +124,17 @@ class AttitudeConfig:
     # parity knob (module docstring)
     rk4_t_parity: bool = True
 
+    def __post_init__(self):
+        # reference guard rail: warn (and ceil) when T_final/h is not an
+        # integer stage count (Solver_attitude.m:151-155)
+        n = self.T_final / self.h
+        if abs(n - round(n)) > 1e-9:
+            import warnings
+
+            warnings.warn(
+                f"T_final/h = {n!r} is not an integer; using "
+                f"ceil = {self.n_stage} stages", stacklevel=3)
+
     @property
     def n_stage(self) -> int:
         return int(np.ceil(self.T_final / self.h))

@@ -103,6 +103,17 @@ class PosAttConfig:
     # rollout parity knob (module docstring)
     accel_scale: float = 1.0
 
+    def __post_init__(self):
+        # reference guard rail: warn (and ceil) when T_final/h is not an
+        # integer stage count (Solver_pos_att.m:161-165)
+        n = self.T_final / self.h
+        if abs(n - round(n)) > 1e-9:
+            import warnings
+
+            warnings.warn(
+                f"T_final/h = {n!r} is not an integer; using "
+                f"ceil = {self.n_stage} stages", stacklevel=3)
+
     @property
     def n_stage(self) -> int:
         return int(np.ceil(self.T_final / self.h))

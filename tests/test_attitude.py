@@ -133,3 +133,24 @@ def test_rollout_simplified_plant_tracks_training_dynamics():
     assert np.all(np.abs(X[-1, :, 1]) < 0.5 * np.maximum(np.abs(X[0, :, 1]), 0.05))
     assert np.isin(np.round(np.abs(np.asarray(U)).astype(np.float64), 4),
                    [0.0, 0.11]).all()
+
+
+def test_non_integer_stage_count_warns():
+    """Reference guard rail: a T_final/h that is not an integer warns and
+    ceils (Solver_attitude.m:151-155; Solver_position.m:77-81;
+    Solver_pos_att.m:161-165)."""
+    import warnings
+
+    from ocdp_tpu.models.attitude import AttitudeConfig
+    from ocdp_tpu.models.pos_att import PosAttConfig
+    from ocdp_tpu.models.position import PositionConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        AttitudeConfig()
+        PositionConfig()
+        PosAttConfig()
+        assert not w
+        cfg = AttitudeConfig(T_final=30.0, h=0.007)
+        assert len(w) == 1 and "not an integer" in str(w[0].message)
+        assert cfg.n_stage == 4286
