@@ -1,11 +1,12 @@
 """Per-sweep cost breakdown of the pallas_shear Kirk backup on the chip.
 
 Times (K-chained, per-rep):
-  A) corner-table gathers only (4 takes)
+  A) single row-gather corner tables (the current __call__ input path)
   B) A + phase-split/pad views + per-chunk W stack  (all kernel inputs)
   C) full backup __call__
 """
 
+import itertools
 import time
 
 import jax
@@ -13,9 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ocdp_tpu.models import kirk
+from ocdp_tpu.models.kirk import _separable_cost_terms
 from ocdp_tpu.ops.pallas_shear import build_pallas_shear_backup
-
-import itertools
 
 
 def fetch(x):
@@ -40,27 +40,28 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     cfg = kirk.KirkConfig()
     p = kirk.build(cfg)
-    bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50)
+    bk = build_pallas_shear_backup(p.plan, p.stage_cost, action_chunk=50,
+                                   cost_terms=_separable_cost_terms(cfg))
     n0, n1 = bk.grid_shape
     v = jax.random.normal(jax.random.PRNGKey(0), (n0, n1), jnp.float32)
 
     u0, u1 = bk.upsample
 
-    def corners_only(values):
+    def gather(values):
+        """The __call__ input path up to the corner tables."""
         v_flat = values.reshape(-1)
-        acc = None
-        for corner in itertools.product((0, 1), repeat=2):
-            off = corner[0] * n1 + corner[1]
-            t = jnp.take(v_flat, bk.corner_idx + off).reshape(bk.t_shape)
-            acc = t if acc is None else acc + t
-        return acc
+        offs = [c0 * n1 + c1 for c0, c1 in itertools.product((0, 1),
+                                                             repeat=2)]
+        vp = jnp.pad(v_flat, (0, max(offs)))
+        v4 = jnp.stack([jax.lax.dynamic_slice(vp, (o,), (v_flat.shape[0],))
+                        for o in offs], axis=-1)
+        return jnp.take(v4, bk.corner_idx, axis=0)
 
     def inputs_only(values):
-        v_flat = values.reshape(-1)
+        g = gather(values)
         views = {}
-        for corner in itertools.product((0, 1), repeat=2):
-            off = corner[0] * n1 + corner[1]
-            t = jnp.take(v_flat, bk.corner_idx + off).reshape(bk.t_shape)
+        for ci, corner in enumerate(itertools.product((0, 1), repeat=2)):
+            t = g[:, ci].reshape(bk.t_shape)
             for p0 in range(u0):
                 for p1 in range(u1):
                     w = t[p0::u0, p1::u1]
@@ -85,9 +86,10 @@ def main():
           f"{bk.R_w},{bk.L_w}) = "
           f"{bk.n_chunks*bk.n_slots*bk.R_w*bk.L_w*4/1e6:.1f} MB", flush=True)
     q_mb = bk.n_chunks * bk.chunk * bk.S0p * bk.S1p * 4 / 1e6
-    print(f"query arrays (jj,f0,f1,cost): 4 x {q_mb:.1f} MB", flush=True)
+    print(f"query arrays (jj,f0,f1): 3 x {q_mb:.1f} MB; t_cells "
+          f"{int(np.prod(bk.t_shape))}", flush=True)
 
-    for name, fn in [("A corners", corners_only),
+    for name, fn in [("A gather", lambda v_: gather(v_).sum(-1)),
                      ("B inputs", inputs_only),
                      ("C full", full)]:
         per = timed(fn, v)
