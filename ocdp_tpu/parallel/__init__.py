@@ -7,7 +7,7 @@ collectives over ICI.
 """
 
 from .halo import value_iteration_converged_halo, value_iteration_finite_halo
-from .halo6 import value_iteration_finite_halo6
+from .halo6 import value_iteration_converged_halo6, value_iteration_finite_halo6
 from .multihost import initialize_distributed, make_mesh
 from .sharded import (
     ShardedPlan,
@@ -26,6 +26,7 @@ __all__ = [
     "value_iteration_finite_halo",
     "value_iteration_finite_halo6",
     "value_iteration_converged_halo",
+    "value_iteration_converged_halo6",
     "initialize_distributed",
     "make_mesh",
 ]

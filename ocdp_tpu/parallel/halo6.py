@@ -38,7 +38,45 @@ from ..engine import SolveResult, policy_dtype_for
 from ..ops.interp import InterpPlan
 from ..ops.pallas_backup6 import PallasBackup6D, _round_up
 
-__all__ = ["value_iteration_finite_halo6"]
+__all__ = ["value_iteration_finite_halo6", "value_iteration_converged_halo6"]
+
+
+def _build_rowsharded(plan: InterpPlan, cost_terms, n_dev: int, kernel_kw):
+    """Kernel + per-device block height for an ``n_dev``-way row shard."""
+    row_axes = kernel_kw.get("row_axes", 3)
+    # flat plans (big on-device builds) carry (rows, lanes, A) arrays;
+    # the grid's true state shape always comes from grid_shape
+    flat = len(plan.query_shape) != plan.ndim + 1
+    state_shape = plan.grid_shape if flat else plan.query_shape[:-1]
+    NW = int(np.prod(state_shape[:row_axes]))
+    NEp = _round_up(int(np.prod(state_shape[row_axes:])), 128)
+    T = kernel_kw.get("row_tile") or max(8, (32 * 1024 // NEp) // 8 * 8)
+    B = _round_up(-(-NW // n_dev), T)            # block rows, whole tiles
+    kw = dict(kernel_kw, row_tile=T, row_pad_to=n_dev * B)
+    bk = PallasBackup6D(plan, cost_terms, **kw)
+    lo, hi = bk.pad_top, bk.pad_bot
+    if max(lo, hi) > B:
+        raise ValueError(
+            f"halo widths ({lo}, {hi}) exceed the per-device block height "
+            f"{B}; use fewer devices")
+    return bk, B, lo, hi
+
+
+def _make_halo_pad(axis_name: str, n_dev: int, lo: int, hi: int):
+    def halo_pad(v_local):
+        parts = []
+        if lo:
+            parts.append(jax.lax.ppermute(
+                v_local[-lo:], axis_name,
+                [(i, i + 1) for i in range(n_dev - 1)]))
+        parts.append(v_local)
+        if hi:
+            parts.append(jax.lax.ppermute(
+                v_local[:hi], axis_name,
+                [(i + 1, i) for i in range(n_dev - 1)]))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+            else v_local
+    return halo_pad
 
 
 def value_iteration_finite_halo6(
@@ -58,22 +96,7 @@ def value_iteration_finite_halo6(
     single-chip :class:`PallasBackup6D` through the finite engine.
     """
     n_dev = mesh.shape[axis_name]
-    row_axes = kernel_kw.get("row_axes", 3)
-    # flat plans (big on-device builds) carry (rows, lanes, A) arrays;
-    # the grid's true state shape always comes from grid_shape
-    flat = len(plan.query_shape) != plan.ndim + 1
-    state_shape = plan.grid_shape if flat else plan.query_shape[:-1]
-    NW = int(np.prod(state_shape[:row_axes]))
-    NEp = _round_up(int(np.prod(state_shape[row_axes:])), 128)
-    T = kernel_kw.get("row_tile") or max(8, (32 * 1024 // NEp) // 8 * 8)
-    B = _round_up(-(-NW // n_dev), T)            # block rows, whole tiles
-    kw = dict(kernel_kw, row_tile=T, row_pad_to=n_dev * B)
-    bk = PallasBackup6D(plan, cost_terms, **kw)
-    lo, hi = bk.pad_top, bk.pad_bot
-    if max(lo, hi) > B:
-        raise ValueError(
-            f"halo widths ({lo}, {hi}) exceed the per-device block height "
-            f"{B}; use fewer devices")
+    bk, B, lo, hi = _build_rowsharded(plan, cost_terms, n_dev, kernel_kw)
 
     if init_values is None:
         v0 = jnp.zeros((bk.NWp, bk.NEp), jnp.float32)
@@ -83,19 +106,7 @@ def value_iteration_finite_halo6(
     pdt = policy_dtype_for(bk.n_actions)
 
     def run(v_blk, *args_l):
-        def halo_pad(v_local):
-            parts = []
-            if lo:
-                parts.append(jax.lax.ppermute(
-                    v_local[-lo:], axis_name,
-                    [(i, i + 1) for i in range(n_dev - 1)]))
-            parts.append(v_local)
-            if hi:
-                parts.append(jax.lax.ppermute(
-                    v_local[:hi], axis_name,
-                    [(i + 1, i) for i in range(n_dev - 1)]))
-            return jnp.concatenate(parts, axis=0) if len(parts) > 1 \
-                else v_local
+        halo_pad = _make_halo_pad(axis_name, n_dev, lo, hi)
 
         def sweep(carry, _):
             v_local, _ = carry
@@ -134,4 +145,106 @@ def value_iteration_finite_halo6(
         policies=policies,
         num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
         converged=jnp.asarray(False),
+    )
+
+
+def value_iteration_converged_halo6(
+    plan: InterpPlan,
+    cost_terms,
+    max_sweeps: int,
+    mesh: Mesh,
+    *,
+    check_every: int = 50,
+    tol: float = 1e-2,
+    axis_name: str = "s",
+    init_values: Optional[jax.Array] = None,
+    **kernel_kw,
+) -> SolveResult:
+    """Early-stopping twin of :func:`value_iteration_finite_halo6`.
+
+    The reference's periodic-checksum stop (pos-att/Solver_pos_att.m:268-286
+    semantics, applied to the 6-D attitude table): every ``check_every``
+    sweeps compare ``errorF = Δ Σ V`` / ``errorU = Δ Σ argmin`` and stop when
+    ``|errorF| < tol``. The table never leaves its row shards — the checksums
+    are one scalar ``psum`` each over the mesh axis, so every device makes
+    the identical stopping decision. Padding rows/lanes (the kernel tiles to
+    whole row tiles and 128 lanes) are masked out of the sums, so the
+    checksums match the single-chip converged engine up to shard reduction
+    order (~1 ulp); values/argmin are bitwise equal to single-chip.
+    """
+    n_dev = mesh.shape[axis_name]
+    bk, B, lo, hi = _build_rowsharded(plan, cost_terms, n_dev, kernel_kw)
+    n_checks = max(max_sweeps // check_every, 1)
+
+    if init_values is None:
+        v0 = jnp.zeros((bk.NWp, bk.NEp), jnp.float32)
+    else:
+        v0 = jnp.pad(init_values.reshape(bk.NW, bk.NE),
+                     ((0, bk.NWp - bk.NW), (0, bk.NEp - bk.NE)))
+
+    def run(v_blk, *args_l):
+        halo_pad = _make_halo_pad(axis_name, n_dev, lo, hi)
+        # mask of REAL cells in this device's (B, NEp) block: the kernel
+        # pads rows to whole tiles / lanes to 128 and writes garbage there
+        # (zero-weight taps keep it out of real cells); it must not reach
+        # the convergence checksums
+        row0 = jax.lax.axis_index(axis_name) * B
+        valid = ((row0 + jnp.arange(B))[:, None] < bk.NW) & \
+            (jnp.arange(bk.NEp)[None, :] < bk.NE)
+
+        def cond(carry):
+            k_s, converged = carry[2], carry[4]
+            return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+
+        def body(carry):
+            v_local, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
+            v2p = halo_pad(v_local)
+            vals, argm = bk._sweep_padded(v2p, args_l, B)
+            do_check = (k_s % check_every) == 0
+            fsum = jax.lax.psum(
+                jnp.sum(jnp.where(valid, vals, 0.0), dtype=jnp.float32),
+                axis_name)
+            usum = jax.lax.psum(
+                jnp.sum(jnp.where(valid, argm, 0).astype(jnp.float32),
+                        dtype=jnp.float32),
+                axis_name)
+            err_f = fsum - fsum_prev
+            err_u = usum - usum_prev
+            converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
+            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+            usum_prev = jnp.where(do_check, usum, usum_prev)
+            return (vals, argm, k_s - 1, (fsum_prev, usum_prev), converged,
+                    checks, c_idx)
+
+        init = (
+            v_blk,
+            jnp.zeros((B, bk.NEp), jnp.int32),
+            jnp.asarray(max_sweeps, jnp.int32),
+            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
+            jnp.asarray(False),
+            jnp.zeros((n_checks, 3), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        v_fin, argm, k_s, _, converged, checks, _ = jax.lax.while_loop(
+            cond, body, init)
+        return v_fin, argm, k_s, converged, checks
+
+    rows = P(axis_name, None)
+    in_specs = [rows] + [rows] * (len(bk.sweep_args) - 1) + [P(None, None)]
+    out_specs = (rows, rows, P(), P(), P())
+    fn = jax.shard_map(run, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=out_specs, check_vma=False)
+    out = jax.jit(fn)(v0, *bk.sweep_args)
+    values = out[0][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    return SolveResult(
+        values=values,
+        argmin=argmin,
+        policies=None,
+        num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - out[2],
+        converged=out[3],
+        checks=out[4],
     )

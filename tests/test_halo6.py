@@ -74,3 +74,48 @@ def test_halo6_width_guard():
     mesh = Mesh(np.array(jax.devices()[:4]), ("s",))
     with pytest.raises(ValueError, match="halo widths"):
         value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8)
+
+
+def test_halo6_converged_matches_single_chip():
+    """Early-stopping twin: identical stop decision + bitwise values vs the
+    single-chip converged engine running the same 6-D kernel."""
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.parallel import value_iteration_converged_halo6
+
+    grid, plan, cost = _problem(5, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_converged(
+        p_, c_, 11, check_every=3, tol=1e6, backup=b))(plan, cost, bk)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    got = value_iteration_converged_halo6(plan, cost, 11, mesh,
+                                          check_every=3, tol=1e6,
+                                          row_tile=8)
+    # a huge tol stops both at the FIRST check (k_s=9, after 3 sweeps)
+    assert int(ref.num_sweeps) == int(got.num_sweeps) == 3
+    assert bool(got.converged)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+    # checksums equal up to shard reduction order
+    np.testing.assert_allclose(np.asarray(got.checks[0]),
+                               np.asarray(ref.checks[0]), rtol=1e-6)
+
+
+def test_halo6_converged_runs_to_cap_without_stop():
+    """tol=0 never fires: the loop runs to max_sweeps and matches the
+    finite engine bitwise (same sweeps, no early exit)."""
+    from ocdp_tpu.parallel import value_iteration_converged_halo6
+
+    grid, plan, cost = _problem(5, 4)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    fin = value_iteration_finite_halo6(plan, cost, 6, mesh, row_tile=8)
+    got = value_iteration_converged_halo6(plan, cost, 6, mesh,
+                                          check_every=2, tol=0.0,
+                                          row_tile=8)
+    assert not bool(got.converged)
+    assert int(got.num_sweeps) == 6
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(fin.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(fin.argmin))
