@@ -127,6 +127,8 @@ class AttitudeConfig:
     def __post_init__(self):
         # reference guard rail: warn (and ceil) when T_final/h is not an
         # integer stage count (Solver_attitude.m:151-155)
+        if self.h <= 0:   # degenerate (frozen-dynamics test configs)
+            return
         n = self.T_final / self.h
         if abs(n - round(n)) > 1e-9:
             import warnings

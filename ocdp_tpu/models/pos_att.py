@@ -106,6 +106,8 @@ class PosAttConfig:
     def __post_init__(self):
         # reference guard rail: warn (and ceil) when T_final/h is not an
         # integer stage count (Solver_pos_att.m:161-165)
+        if self.h <= 0:   # degenerate (frozen-dynamics test configs)
+            return
         n = self.T_final / self.h
         if abs(n - round(n)) > 1e-9:
             import warnings
