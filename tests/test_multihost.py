@@ -14,7 +14,6 @@ import sys
 import tempfile
 
 import numpy as np
-import pytest
 
 from ocdp_tpu import value_iteration_finite
 from ocdp_tpu.models import kirk
@@ -28,7 +27,6 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
 def test_two_process_sharded_solve_matches_single_process():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
