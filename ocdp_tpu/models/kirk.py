@@ -109,10 +109,13 @@ def solve(
 ) -> KirkSolution:
     """Run the N-1 backward sweeps (test/Dynamic_Solver.m:86-102) under jit.
 
-    ``impl``: ``"stencil"`` (gather-free banded backup, the fast TPU path) or
-    ``"gather"`` (generic 2^d-corner gather backup). Both compute the same
-    multilinear-interpolation + first-min semantics; values agree to f32
-    rounding.
+    ``impl``: ``"stencil"`` (gather-free banded backup, the portable default
+    — works on CPU too), ``"pallas"`` (fused shear-gather Mosaic kernel, the
+    fastest TPU path: 1.66e10 evals/s on one v5e), ``"sheargather"`` (its
+    XLA form), ``"basegather"`` (residual-tap gather for wide action sets),
+    ``"pallas-lti"`` (MXU one-hot experiment, superseded), or ``"gather"``
+    (generic 2^d-corner gather oracle). All compute the same multilinear-
+    interpolation + first-min semantics; values agree to f32 rounding.
     """
     problem = build(config)
     backup = None
