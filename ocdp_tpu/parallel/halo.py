@@ -37,6 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..engine import SolveResult, policy_dtype_for
 from ..ops.interp import InterpPlan
 from ..ops.stencil import build_stencil_backup
+from .sharded import _record_check
 
 __all__ = ["value_iteration_finite_halo", "value_iteration_converged_halo"]
 
@@ -155,8 +156,12 @@ def value_iteration_converged_halo(
     action_chunk: Optional[int] = None,
     weight_mode: str = "onthefly",
     init_values: Optional[jax.Array] = None,
+    on_check=None,
 ) -> SolveResult:
     """Early-stopping twin of :func:`value_iteration_finite_halo`.
+
+    ``on_check(k_s, errorF, errorU)`` streams each check to the host once
+    (emitted from mesh coordinate 0; Solver_pos_att.m:278 print parity).
 
     The table never leaves its shards: the stop decision needs only the
     GLOBAL sums ``errorF = Δ Σ V`` / ``errorU = Δ Σ argmin`` — one scalar
@@ -206,9 +211,8 @@ def value_iteration_converged_halo(
             err_f = fsum - fsum_prev
             err_u = usum - usum_prev
             converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
-            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
-            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
-            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            checks, c_idx = _record_check(do_check, k_s, err_f, err_u,
+                                          checks, c_idx, on_check, axis_name)
             fsum_prev = jnp.where(do_check, fsum, fsum_prev)
             usum_prev = jnp.where(do_check, usum, usum_prev)
             return (vals, args, k_s - 1, (fsum_prev, usum_prev), converged,

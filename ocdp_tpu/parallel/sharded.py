@@ -245,6 +245,24 @@ def sharded_bellman_sweeps(
     return out[0], out[1], None
 
 
+def _record_check(do_check, k_s, err_f, err_u, checks, c_idx,
+                  on_check, axis_name):
+    """Append a ``[k_s, errorF, errorU]`` row when ``do_check``; when
+    ``on_check`` is given, stream it to the host exactly once per check
+    (the emit is gated to mesh coordinate 0 along ``axis_name``)."""
+    def record(args):
+        checks, c_idx = args
+        if on_check is not None:
+            jax.lax.cond(
+                jax.lax.axis_index(axis_name) == 0,
+                lambda: jax.debug.callback(on_check, k_s, err_f, err_u),
+                lambda: None)
+        row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+        return checks.at[c_idx].set(row), c_idx + 1
+
+    return jax.lax.cond(do_check, record, lambda a: a, (checks, c_idx))
+
+
 def value_iteration_converged_sharded(
     plan: InterpPlan,
     stage_cost: jax.Array,
@@ -257,6 +275,7 @@ def value_iteration_converged_sharded(
     state_axis_name: str = "s",
     action_axis_name: Optional[str] = None,
     init_values: Optional[jax.Array] = None,
+    on_check=None,
 ) -> SolveResult:
     """Mesh-sharded twin of :func:`ocdp_tpu.engine.value_iteration_converged`.
 
@@ -267,6 +286,11 @@ def value_iteration_converged_sharded(
     ``errorU = Δ Σ argmin`` sums each device's local block and combines with
     a ``psum`` over the state mesh axis (padded rows masked out). Results
     match the single-chip engine bitwise, including the stopping sweep.
+
+    ``on_check(k_s, errorF, errorU)`` streams each check to the host (the
+    reference's per-check print, Solver_pos_att.m:278) exactly once — the
+    emit is gated to mesh coordinate 0, whose owning process runs the
+    callback.
     """
     sp = shard_backup_inputs(
         plan, stage_cost, mesh, shard_axis=shard_axis,
@@ -315,9 +339,8 @@ def value_iteration_converged_sharded(
             err_f = fsum - fsum_prev
             err_u = usum - usum_prev
             converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
-            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
-            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
-            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
+            checks, c_idx = _record_check(do_check, k_s, err_f, err_u,
+                                          checks, c_idx, on_check, name)
             fsum_prev = jnp.where(do_check, fsum, fsum_prev)
             usum_prev = jnp.where(do_check, usum, usum_prev)
             return (v_new, args, k_s - 1, (fsum_prev, usum_prev), converged,

@@ -140,3 +140,21 @@ def test_sharded_policies_narrow_dtype():
     got2 = value_iteration_finite_halo(p2.plan, p2.stage_cost, 5, mesh,
                                        action_chunk=10, store_policies=True)
     assert got2.policies.dtype == np.uint8
+
+
+def test_sharded_on_check_emits_once_per_check():
+    """The sharded converged engine streams each check to the host exactly
+    once (gated to mesh coordinate 0), with the same rows it records in
+    SolveResult.checks."""
+    p = small_problem()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("s",))
+    seen = []
+    got = value_iteration_converged_sharded(
+        p.plan, p.stage_cost, 20, mesh, check_every=5, tol=0.0,
+        on_check=lambda k, ef, eu: seen.append(
+            (float(k), float(ef), float(eu))))
+    jax.effects_barrier()
+    checks = np.asarray(got.checks)
+    assert len(seen) == 4                      # k_s = 20, 15, 10, 5
+    np.testing.assert_allclose(np.asarray(sorted(seen, reverse=True)),
+                               checks, rtol=0, atol=0)
