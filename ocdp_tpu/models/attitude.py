@@ -52,7 +52,7 @@ from ..engine import SolveResult, value_iteration_finite
 from ..grids import Grid, linspace_axis
 from ..ops.interp import build_plan, interp_eval, nearest_eval
 from ..ops.stencil import build_stencil_backup
-from ..utils.integrators import rk4_step, rkf45_integrate
+from ..utils.integrators import rk4_step
 from ..utils.quaternions import quat_to_euler_zyx
 
 __all__ = [
@@ -559,12 +559,19 @@ def rollout_simplified_real_dynamics(
     *,
     num_stages: Optional[int] = None,
     ode_tol: float = 1e-8,
+    integrator: str = "ode45",
 ):
     """Train-on-simplified / validate-on-real (:835-925): per-axis policies
     looked up at (omega_i, 2*asin(kirk q_i)), plant = full nonlinear rigid
-    body with the complete inertia matrix, integrated RKF45 per stage."""
+    body with the complete inertia matrix, integrated per stage with
+    ``integrator``: 'ode45' (default; the reference uses MATLAB ode45 here,
+    Solver_attitude.m:851,885) or 'rkf45' (Fehlberg at ``ode_tol``)."""
+    from ..utils.integrators import adaptive_integrator
+
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
+    _adaptive = adaptive_integrator(integrator)
+    _kw = {} if integrator == "ode45" else {"tol": ode_tol}
     inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
     inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
     tables = sol.u_tables
@@ -578,7 +585,7 @@ def rollout_simplified_real_dynamics(
         ])
         f = lambda t, y: attitude_rates_kirk(y, U, inertia, inertia_inv)  # noqa: E731
         t0 = k * cfg.h
-        X_next = _renorm_q(rkf45_integrate(f, t0, t0 + cfg.h, X, tol=ode_tol))
+        X_next = _renorm_q(_adaptive(f, t0, t0 + cfg.h, X, **_kw))
         return X_next, (X, U)
 
     X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)

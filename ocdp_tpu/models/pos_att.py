@@ -43,7 +43,6 @@ from ..io import ChannelController
 from ..ops.interp import InterpPlan, build_plan, interp_apply
 from ..ops.stencil import build_stencil_backup
 from ..utils.frames import body_to_rsw, rsw_to_body
-from ..utils.integrators import rkf45_integrate
 from ..utils.quaternions import quat_kinematics, small_angles_from_quat
 from .thrusters import (
     SPHERES_MOMENT_ARM,
@@ -530,8 +529,14 @@ def get_optimal_path(
     t_final: Optional[float] = None,
     use_x_failure: bool = False,
     ode_tol: float = 1e-8,
+    integrator: str = "ode45",
 ):
     """Closed-loop 13-state rollout (:452-730) as one on-device scan.
+
+    ``integrator``: 'ode45' (default; Dormand-Prince with MATLAB-default
+    RelTol/AbsTol — the reference integrates this plant with ode45,
+    Solver_pos_att.m:504) or 'rkf45' (Curtis/Fehlberg pair at ``ode_tol``;
+    trajectories agree to integration tolerance, tests/test_pos_att.py).
 
     Returns (T, X, F_th, FM): times (N,), states (N, 13), thruster forces
     (N-1, 12), and the force/moment log (N-1, 6) = [a_rsw (3), U_M (3)].
@@ -551,6 +556,11 @@ def get_optimal_path(
     axes = {ch: ctrls[ch].axes for ch in CHANNELS}
 
     from ..ops.interp import nearest_eval
+    from ..utils.integrators import adaptive_integrator
+
+    _adaptive = adaptive_integrator(integrator)
+    _kw = {} if integrator == "ode45" else {"tol": ode_tol}
+    _integ = lambda f, a, b, y: _adaptive(f, a, b, y, **_kw)  # noqa: E731
 
     # channel -> (position index, theta/omega index): x uses t_y, w_y etc.
     att_idx = {"x": 1, "y": 2, "z": 0}
@@ -589,7 +599,7 @@ def get_optimal_path(
             return jnp.concatenate([trans, qdot, wdot])
 
         t0 = k * h
-        y_next = rkf45_integrate(rates, t0, t0 + h, y, tol=ode_tol)
+        y_next = _integ(rates, t0, t0 + h, y)
         f12 = jnp.concatenate([fx[:2], fy[:2], fz[:2], fx[2:], fy[2:], fz[2:]])
         return y_next, (y, f12, jnp.concatenate([a_rsw, U_M]))
 
