@@ -25,8 +25,8 @@ def _add_common(p):
                                        "attitude-full", "pos-att"])
     p.add_argument("--sweeps", type=int, default=None,
                    help="override number of sweeps")
-    p.add_argument("--impl", default="stencil",
-                   choices=["stencil", "gather", "pallas", "pallas-lti",
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "stencil", "gather", "pallas",
                             "basegather", "sheargather", "rowlane"])
 
 

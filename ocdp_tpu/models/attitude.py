@@ -50,6 +50,7 @@ import numpy as np
 
 from ..engine import SolveResult, value_iteration_finite
 from ..grids import Grid, linspace_axis
+from ..ops import default_impl
 from ..ops.interp import build_plan, interp_eval, nearest_eval
 from ..ops.stencil import build_stencil_backup
 from ..utils.integrators import rk4_step
@@ -186,10 +187,16 @@ def solve_simplified(
     cfg: AttitudeConfig = AttitudeConfig(),
     *,
     num_sweeps: Optional[int] = None,
-    impl: str = "stencil",
+    impl: str = "auto",
 ) -> SimplifiedSolution:
-    """3 decoupled (omega, theta) solves (:196-259), one jit each."""
+    """3 decoupled (omega, theta) solves (:196-259), one jit each.
+
+    ``impl='auto'`` picks the bench winner for the backend (see
+    bench.py ``attitude_axis``); ``'stencil'``/``'pallas'``/``'rowlane'``/
+    ``'gather'`` force a path."""
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    if impl == "auto":
+        impl = default_impl("stencil")
     c_h = _quirk(cfg.h, cfg.rk4_t_parity)
     axes_out, tables, values = [], [], []
     for i, (t_lo, t_hi) in enumerate(cfg.euler_ranges):
@@ -393,7 +400,7 @@ def solve_full(
     cfg: AttitudeConfig,
     *,
     num_sweeps: Optional[int] = None,
-    impl: str = "stencil",
+    impl: str = "auto",
     action_chunk: int = 9,
     state_blocks: Optional[int] = None,
     weight_mode: str = "precomputed",
@@ -401,9 +408,12 @@ def solve_full(
     """``action_chunk`` and ``state_blocks`` bound the live intermediates of
     the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
     sweeps crashed a v5e). Default blocking targets ~2M-element working sets
-    per (block x chunk)."""
+    per (block x chunk). ``impl='auto'`` = the 6-D Pallas kernel on TPU (the
+    only path that scales past ~1M cells there), the stencil elsewhere."""
     grid, plan, cost = build_full(cfg)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    if impl == "auto":
+        impl = default_impl("pallas")
     if plan_is_flat(plan) and impl != "pallas":
         raise ValueError(
             f"grids past 8M cells build flat on-device plans, which only "

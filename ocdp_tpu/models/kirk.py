@@ -24,7 +24,9 @@ import numpy as np
 
 from ..engine import SolveResult, value_iteration_finite
 from ..grids import Grid, linspace_axis
+from ..ops import default_impl
 from ..ops.interp import InterpPlan, build_plan, interp_eval
+from ..ops.sheargather import ShearBandError
 from ..ops.stencil import build_stencil_backup
 
 __all__ = ["KirkConfig", "KirkProblem", "KirkSolution", "build", "solve", "optimal_path"]
@@ -105,19 +107,24 @@ def solve(
     config: KirkConfig = KirkConfig(),
     *,
     store_policies: bool = True,
-    impl: str = "stencil",
+    impl: str = "auto",
 ) -> KirkSolution:
     """Run the N-1 backward sweeps (test/Dynamic_Solver.m:86-102) under jit.
 
-    ``impl``: ``"stencil"`` (gather-free banded backup, the portable default
-    — works on CPU too), ``"pallas"`` (fused shear-gather Mosaic kernel, the
-    fastest TPU path: 1.66e10 evals/s on one v5e), ``"sheargather"`` (its
-    XLA form), ``"basegather"`` (residual-tap gather for wide action sets),
-    ``"pallas-lti"`` (MXU one-hot experiment, superseded), or ``"gather"``
-    (generic 2^d-corner gather oracle). All compute the same multilinear-
+    ``impl``: ``"auto"`` (default — the fused shear-gather Mosaic kernel on
+    TPU, the fastest path at 1.7e10 evals/s on one v5e, with a stencil
+    fallback if the shear band can't cover the dynamics; the portable XLA
+    stencil on CPU), or explicitly ``"pallas"`` (shear Mosaic kernel),
+    ``"stencil"`` (gather-free banded backup — works everywhere),
+    ``"sheargather"`` (the shear kernel's XLA form), ``"basegather"``
+    (residual-tap gather for wide action sets), or ``"gather"`` (generic
+    2^d-corner gather oracle). All compute the same multilinear-
     interpolation + first-min semantics; values agree to f32 rounding.
     """
     problem = build(config)
+    auto = impl == "auto"
+    if auto:
+        impl = default_impl("pallas")
     backup = None
     if impl == "stencil":
         chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
@@ -139,14 +146,18 @@ def solve(
         # Kirk path: 1.66e10 evals/s on one v5e (NOTES.md round 2)
         from ..ops.pallas_shear import build_pallas_shear_backup
 
-        backup = _build_shear_walkdown(
-            build_pallas_shear_backup, problem, config.du, start=50,
-            cost_terms=_separable_cost_terms(config))
-    elif impl == "pallas-lti":
-        from ..ops.pallas_lti import build_pallas_lti_backup
-
-        chunk = config.du if config.du <= 128 else _largest_divisor_leq(config.du, 100)
-        backup = build_pallas_lti_backup(config, u_chunk=chunk)
+        try:
+            backup = _build_shear_walkdown(
+                build_pallas_shear_backup, problem, config.du, start=50,
+                cost_terms=_separable_cost_terms(config))
+        except ShearBandError:
+            if not auto:
+                raise
+            # auto fallback: dynamics this grid can't shear-band
+            backup = build_stencil_backup(
+                problem.plan, problem.stage_cost,
+                action_chunk=(config.du if config.du <= 64
+                              else _largest_divisor_leq(config.du, 50)))
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

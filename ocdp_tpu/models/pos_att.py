@@ -40,6 +40,7 @@ from ..dynamics.relmotion import cw_relative_rates
 from ..engine import SolveResult, value_iteration_converged
 from ..grids import Grid, sym_linspace_exact
 from ..io import ChannelController
+from ..ops import default_impl
 from ..ops.interp import InterpPlan, build_plan, interp_apply
 from ..ops.stencil import build_stencil_backup
 from ..utils.frames import body_to_rsw, rsw_to_body
@@ -238,12 +239,18 @@ def solve_channel(
     channel: str,
     *,
     failure: bool = False,
-    impl: str = "stencil",
+    impl: str = "auto",
     max_sweeps: Optional[int] = None,
 ) -> tuple[ChannelController, SolveResult]:
-    """Early-stopping value iteration for one channel (:268-289)."""
+    """Early-stopping value iteration for one channel (:268-289).
+
+    ``impl='auto'`` (default) picks the bench-winning path: the row/lane
+    Pallas kernel on TPU (2.2e10 evals/s on one v5e), the XLA stencil
+    elsewhere. ``'pallas'``/``'stencil'``/``'gather'`` force a path."""
     problem = build_channel(cfg, channel, failure=failure)
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
+    if impl == "auto":
+        impl = default_impl("pallas")
     backup = None
     if impl == "stencil":
         backup = build_stencil_backup(problem.plan, problem.stage_cost)
@@ -289,7 +296,7 @@ def solve(
     cfg: PosAttConfig = PosAttConfig(),
     *,
     include_failure: bool = True,
-    impl: str = "stencil",
+    impl: str = "auto",
     save_dir: Optional[str] = None,
 ) -> PosAttSolution:
     """Solve all channels (+ x-failure), the reference's ``simplified_run``."""

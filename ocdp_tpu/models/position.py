@@ -149,19 +149,21 @@ def solve(
     config: PositionConfig = PositionConfig(),
     *,
     num_sweeps: Optional[int] = None,
-    impl: str = "stencil",
+    impl: str = "auto",
 ) -> PositionSolution:
     """All channels' value iteration in one jitted scan (:131-141)."""
     problem = build(config)
     sweeps = (config.n_stage - 1) if num_sweeps is None else num_sweeps
     backup = None
-    if impl == "stencil":
+    if impl in ("stencil", "auto"):
+        # the XLA stencil is the bench winner on every backend here; the
+        # 2-D Pallas kernel doesn't apply (position batches channels as a
+        # 3rd grid axis)
         backup = build_stencil_backup(problem.plan, problem.stage_cost)
     elif impl != "gather":
-        # note: the 2-D Pallas kernel doesn't apply here; position batches
-        # channels as a 3rd grid axis, so it stays on the XLA stencil path
         raise ValueError(
-            f"unknown impl {impl!r} (position supports 'stencil'/'gather')")
+            f"unknown impl {impl!r} (position supports 'auto'/'stencil'/"
+            f"'gather')")
 
     @partial(jax.jit, static_argnames=("n",))
     def _solve(plan, cost, n):
