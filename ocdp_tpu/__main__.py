@@ -27,7 +27,8 @@ def _add_common(p):
                    help="override number of sweeps")
     p.add_argument("--impl", default="auto",
                    choices=["auto", "stencil", "gather", "pallas",
-                            "basegather", "sheargather", "rowlane"])
+                            "basegather", "sheargather", "rowlane",
+                            "rowband"])
 
 
 def cmd_solve(args):

@@ -114,18 +114,42 @@ class PlanShape:
         return cls(tuple(plan.grid_shape), tuple(plan.query_shape))
 
 
-def build_plan(axes: Sequence[np.ndarray], queries: Sequence, dtype=jnp.float32) -> InterpPlan:
+def build_plan(axes: Sequence[np.ndarray], queries: Sequence, dtype=jnp.float32,
+               edge: str = "extrapolate") -> InterpPlan:
     """Build an :class:`InterpPlan` for per-axis query coordinate arrays.
 
     ``queries[k]`` holds the coordinate of every query point along state axis
     ``k``; arrays may be broadcast-shaped (singleton dims where the coordinate
     does not vary).
+
+    ``edge`` — value-table behavior for out-of-grid queries (SURVEY.md §7
+    "explicit edge policy as a config"):
+
+    * ``"extrapolate"`` (default): MATLAB ``griddedInterpolant`` parity —
+      fracs outside [0,1] extrapolate the edge cell linearly, exactly as the
+      reference's backups do (test/Dynamic_Solver.m:207). CAUTION: linear
+      extrapolation makes the Bellman operator locally EXPANSIVE (weight
+      magnitudes ``|1-f|+|f| >> 1``) at cells whose dynamics exit the grid;
+      value iteration can then diverge at those edge cells once f32 rounding
+      flips the argmin toward the extrapolating action — observed on the
+      attitude roll axis at the reference's own 5999-sweep horizon with the
+      gather oracle itself, i.e. the hazard is inherent to the reference's
+      semantics, not to any one kernel.
+    * ``"clamp"``: project out-of-grid queries onto the grid boundary
+      (fracs clipped to [0,1]). Every interpolation weight stays in [0,1],
+      so backups are non-expansive and value iteration is unconditionally
+      stable. Differs from the reference ONLY at queries that leave the
+      grid.
     """
     if len(axes) != len(queries):
         raise ValueError(f"got {len(axes)} axes but {len(queries)} query arrays")
+    if edge not in ("extrapolate", "clamp"):
+        raise ValueError(f"unknown edge policy {edge!r}")
     lo, frac = [], []
     for ax, q in zip(axes, queries):
         l, f = axis_locate(ax, q, dtype=dtype)
+        if edge == "clamp":
+            f = jnp.clip(f, 0.0, 1.0)
         lo.append(l)
         frac.append(f)
     return InterpPlan(tuple(lo), tuple(frac), tuple(int(np.asarray(a).size) for a in axes))

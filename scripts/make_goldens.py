@@ -55,8 +55,9 @@ def make_attitude_axis():
     from ocdp_tpu.models import attitude
 
     cfg = attitude.AttitudeConfig()
+    # pinned to the strict reference-parity path (extrapolating edges)
     sol = attitude.solve_simplified(cfg, num_sweeps=ATTITUDE_SWEEPS,
-                                    impl="stencil")
+                                    impl="stencil", edge="extrapolate")
     path = os.path.join(GOLDEN_DIR, "attitude_axis_golden.npz")
     np.savez_compressed(
         path,

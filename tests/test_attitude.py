@@ -20,7 +20,9 @@ def small_cfg(**kw):
 @pytest.mark.parametrize("impl", ["gather", "stencil", "rowlane"])
 def test_simplified_matches_oracle(impl):
     cfg = small_cfg()
-    sol = attitude.solve_simplified(cfg, num_sweeps=6, impl=impl)
+    # strict reference parity (the numpy oracle extrapolates like MATLAB)
+    sol = attitude.solve_simplified(cfg, num_sweeps=6, impl=impl,
+                                    edge="extrapolate")
     c_h = 1 + cfg.h / 2 + cfg.h**2 / 6 + cfg.h**3 / 24
     for i in range(3):
         s_w, s_t = sol.axes[i]

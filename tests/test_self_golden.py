@@ -40,7 +40,7 @@ def test_attitude_axis_matches_self_golden():
     g = _load("attitude_axis_golden.npz")
     sol = attitude.solve_simplified(attitude.AttitudeConfig(),
                                     num_sweeps=int(g["sweeps"]),
-                                    impl="stencil")
+                                    impl="stencil", edge="extrapolate")
     vals = np.stack([np.asarray(v) for v in sol.values])
     np.testing.assert_allclose(vals, g["values"], rtol=1e-6, atol=1e-6)
     tabs = np.stack([np.asarray(t) for t in sol.u_tables])
