@@ -73,30 +73,31 @@ def test_full_6d_matches_oracle(impl):
     assert agree > 0.995
 
 
-@pytest.fixture(scope="module")
-def full_solution():
-    # feasible-scale 6-D solve (the .asv history ran 11^3 x 10^3 likewise);
-    # shared across tests — the solve is the expensive part
-    cfg = small_cfg(n_mesh_w=11, n_mesh_q=7, T_final=30.0)
-    # onthefly + closure constants is the fast configuration on CPU
-    return attitude.solve_full(cfg, num_sweeps=1000, action_chunk=27,
-                               weight_mode="onthefly")
-
-
-def test_full_u_tables_decode_chained_argmin(full_solution):
-    sol = full_solution
+def test_full_u_tables_decode_chained_argmin():
+    # tiny-scale solve: the decode logic (nested-index composition) is
+    # scale-independent; the rollout quality test below carries the
+    # historical scale in the slow lane
+    cfg = small_cfg(n_mesh_w=5, n_mesh_q=4, T_final=30.0)
+    sol = attitude.solve_full(cfg, num_sweeps=50, action_chunk=27,
+                              weight_mode="onthefly")
     u = np.asarray(sol.u_tables)
     assert u.shape == (3,) + sol.grid.shape
     assert np.isin(np.round(u.astype(np.float64), 4), [-0.11, 0.0, 0.11]).all()
 
 
-def test_rollout_full_damps_attitude(full_solution):
-    sol = full_solution
+@pytest.mark.slow
+def test_rollout_full_damps_attitude():
+    """The .asv-history scale (11^3 x 7^3, 1000 sweeps): the nearest-policy
+    rollout damps the (5, 10, -9) deg start to within ~half a grid cell.
+    Slow lane: the unrolled 6-D stencil's CPU compile alone is ~2 min (a
+    shorter solve doesn't help, and coarser grids freeze the start cell
+    under the nearest policy)."""
+    cfg = small_cfg(n_mesh_w=11, n_mesh_q=7, T_final=30.0)
+    sol = attitude.solve_full(cfg, num_sweeps=1000, action_chunk=27,
+                              weight_mode="onthefly")
     X, U, ang = attitude.rollout_full(sol, num_stages=4000)
-    X = np.asarray(X)
-    ang = np.asarray(ang)
+    X, ang = np.asarray(X), np.asarray(ang)
     assert np.all(np.isfinite(X))
-    # starts at (5, 10, -9) deg; settles to within ~half a grid cell
     a_end = np.abs(ang[-200:]).mean(axis=0)
     w_end = np.abs(X[-200:, :3]).mean(axis=0)
     assert np.all(a_end < 4 * DEG), a_end / DEG

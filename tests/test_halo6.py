@@ -22,6 +22,7 @@ def _problem(nw, nq):
     return attitude.build_full(cfg)
 
 
+@pytest.mark.slow
 def test_halo6_matches_single_chip_bitwise():
     grid, plan, cost = _problem(5, 4)
     bk = build_pallas_backup_6d(plan, cost, row_tile=8)
@@ -39,6 +40,7 @@ def test_halo6_matches_single_chip_bitwise():
     assert got.policies.dtype == np.uint8    # 27 actions -> narrow store
 
 
+@pytest.mark.slow
 def test_halo6_hbm_table_mode_bitwise():
     """Row sharding composed with the HBM/DMA table path (the combination
     used past one chip's VMEM at envelope scales)."""
@@ -55,6 +57,7 @@ def test_halo6_hbm_table_mode_bitwise():
                                   np.asarray(ref.argmin))
 
 
+@pytest.mark.slow
 def test_halo6_four_devices():
     grid, plan, cost = _problem(7, 4)
     bk = build_pallas_backup_6d(plan, cost, row_tile=8)
@@ -76,6 +79,7 @@ def test_halo6_width_guard():
         value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8)
 
 
+@pytest.mark.slow
 def test_halo6_converged_matches_single_chip():
     """Early-stopping twin: identical stop decision + bitwise values vs the
     single-chip converged engine running the same 6-D kernel."""

@@ -79,6 +79,7 @@ def test_asymmetric_euler_meshes():
                                   np.asarray(ref.argmin))
 
 
+@pytest.mark.slow
 def test_hbm_table_mode_bitwise(small_problem):
     """The HBM/DMA-window path (tables past the scoped-VMEM budget) must be
     BITWISE identical to the VMEM-resident path — same rolls, same
@@ -94,6 +95,7 @@ def test_hbm_table_mode_bitwise(small_problem):
                                   np.asarray(rh.argmin))
 
 
+@pytest.mark.slow
 def test_flat_plan_matches_full(small_problem):
     """Flat (rows, lanes, actions) plans — how envelope-scale plans are
     born on-device — must produce the same backup as the d-D broadcast
@@ -109,6 +111,7 @@ def test_flat_plan_matches_full(small_problem):
     np.testing.assert_array_equal(np.asarray(r.argmin), np.asarray(rf.argmin))
 
 
+@pytest.mark.slow
 def test_flat_plan_solve_full_end_to_end(small_problem, monkeypatch):
     """solve_full over a flat plan (PlanShape shim + engine) == full plan."""
     cfg, _, _, _ = small_problem

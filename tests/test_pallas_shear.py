@@ -85,6 +85,7 @@ def test_separable_cost_bitwise(golden_problem):
                                   cost_terms=bad)
 
 
+@pytest.mark.slow
 def test_solve_impl_pallas(golden_problem):
     """kirk.solve(impl='pallas') routes to the kernel and matches the
     stencil solve's rollout."""

@@ -168,7 +168,8 @@ def test_receding_horizon_arbitrary_x0():
 
     from ocdp_tpu.models import pos_att
 
-    cfg = pos_att.PosAttConfig()          # reference-size grid for CI speed
+    cfg = small_cfg(n_mesh_x=12, n_mesh_v=12, n_mesh_t=8, n_mesh_w=7,
+                    T_final=10.0)         # reference-size grid runs 144 s
     sol = pos_att.solve(cfg, include_failure=False)
     for dx, pitch in ((-0.05, 2.0), (0.08, -1.5)):
         x0 = np.array(pos_att.default_x0(pitch_deg=pitch))

@@ -72,6 +72,7 @@ def test_engine_solve_matches_gather(golden_problem):
     assert (pol_ref != pol_got).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_full_workload_geometry_builds():
     """The full Kirk workload (100x100x1000) must fit the shear model —
     this is the bench fast path (test/Dynamic_Solver.m:49-63)."""
