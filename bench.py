@@ -9,11 +9,18 @@ every other family the judge tracks:
 * ``kirk``            — full finite-horizon solve, fastest impl
 * ``attitude_axis``   — 3 simplified (omega, theta) axes, 1000x300x3 x 5999
                         sweeps each (Solver_attitude.m:108,116,143-144)
-* ``pos_att_channel`` — one 30x30x20x15 x 9-combo channel, converged loop
-                        incl. the early-stop checks (Solver_pos_att.m:268-286)
+* ``pos_att_channel`` — one 30x30x20x15 x 9-combo channel, early-stop loop
+                        incl. the periodic checks (Solver_pos_att.m:268-286)
 * ``attitude_6d``     — full coupled 6-D attitude at the reference's
                         historically-run 11^3 x 10^3 scale
                         (Solver_attitude.asv:95-103), 6-D Pallas kernel
+                        (50-sweep envelope point)
+* ``attitude_6d_converged`` — the BASELINE north star: the same 6-D grid run
+                        to the reference's FULL 5999-sweep horizon under the
+                        converged engine, wall/compile/sweeps recorded
+* ``pos_att_highres`` — BASELINE config #5: 60x60x40x30 = 4.32M cells x 9,
+                        converged channel solve + full 3-channel solve +
+                        receding-horizon closed-loop rollout wall-clock
 
 ``vs_baseline``: the reference publishes no timings (BASELINE.md), so the
 baseline is a measured stand-in: a fully *vectorized* numpy implementation
@@ -238,9 +245,70 @@ def bench_pos_att_channel():
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
         "sweeps": sweeps,
+        # at reference defaults the checksum never fires inside the cap —
+        # matching the reference's actual behavior (NOTES.md parity ledger)
+        "converged": bool(res.converged),
         "impl": "pallas-rowlane",
-        "workload": f"pos-att x channel {cells}x9, converged loop "
+        "workload": f"pos-att x channel {cells}x9, early-stop loop "
                     f"(cap {max_sweeps})",
+    }
+
+
+def bench_pos_att_highres():
+    """BASELINE.json config #5: the high-res coupled grid (60x60x40x30 =
+    4.32M cells x 9 combos per channel) — converged x-channel solve plus the
+    receding-horizon closed-loop rollout (policies re-queried from the
+    13-state every step, Solver_pos_att.m:484-506 generalized)."""
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig.high_res()
+    max_sweeps = cfg.n_stage - 1
+    problem = pos_att.build_channel(cfg, "x")
+    bk = pos_att.build_channel_rowlane_backup(cfg, problem)
+    fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
+        p_, c_, max_sweeps, check_every=cfg.check_every, tol=cfg.tol,
+        backup=b))
+    dt, compile_s, res = _time_jitted(fn, problem.plan, problem.stage_cost,
+                                      bk, trials=1)
+    sweeps = int(res.num_sweeps)
+    cells = cfg.n_mesh_x * cfg.n_mesh_v * cfg.n_mesh_t * cfg.n_mesh_w
+    evals = cells * 9 * sweeps
+
+    # receding-horizon evaluation: full 3-channel solve + closed loop from
+    # an off-nominal x0 (solve wall includes the channel compiles)
+    t0 = time.perf_counter()
+    sol = pos_att.solve(cfg, include_failure=False, impl="pallas")
+    solve_all_s = time.perf_counter() - t0
+    import numpy as _np
+
+    x0 = _np.array(pos_att.default_x0(pitch_deg=2.0))
+    x0[0] = -0.08
+    t0 = time.perf_counter()
+    _, (T, X, F_th, FM) = pos_att.receding_horizon(x0, sol=sol, t_final=10.0)
+    _fetch(X)
+    rollout_cold_s = time.perf_counter() - t0     # includes the scan compile
+    x_err = float(_np.abs(_np.asarray(X)[-1, 0]))
+    x0[0] = 0.06                                  # replan: compiled scan reused
+    t0 = time.perf_counter()
+    _, (T2, X2, _, _) = pos_att.receding_horizon(x0, sol=sol, t_final=10.0)
+    _fetch(X2)
+    rollout_warm_s = time.perf_counter() - t0
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "compile_s": round(compile_s, 1),
+        "sweeps": sweeps,
+        "converged": bool(res.converged),
+        "solve_all_channels_s": round(solve_all_s, 1),
+        "receding_horizon_cold_s": round(rollout_cold_s, 2),
+        "receding_horizon_warm_s": round(rollout_warm_s, 2),
+        "final_x_error_m": round(x_err, 4),
+        "impl": "pallas-rowlane",
+        "workload": f"pos-att high-res x channel {cells}x9 converged loop "
+                    f"(cap {max_sweeps}) + 10 s receding-horizon rollout",
     }
 
 
@@ -270,13 +338,49 @@ def bench_attitude_6d():
     }
 
 
+def bench_attitude_6d_converged():
+    """The BASELINE north-star workload: the FULL coupled 6-D attitude value
+    iteration at the reference's historically-run 11^3 x 10^3 scale
+    (Solver_attitude.asv:95-103), run to the reference's full 5999-sweep
+    horizon (Solver_attitude.m:261-300) under the periodic-checksum
+    converged engine (Solver_pos_att.m:268-286 machinery)."""
+    import jax
+
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.models import attitude
+    from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=11, n_mesh_q=10)
+    max_sweeps = cfg.n_stage - 1        # 5999: the reference's full horizon
+    cells = cfg.n_mesh_w**3 * cfg.n_mesh_q**3
+    grid, plan, cost = attitude.build_full(cfg)
+    bk = build_pallas_backup_6d(plan, cost)
+    fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
+        p_, c_, max_sweeps, check_every=50, tol=1e-2, backup=b))
+    dt, compile_s, res = _time_jitted(fn, plan, cost, bk, trials=1)
+    sweeps = int(res.num_sweeps)
+    evals = cells * 27 * sweeps
+    return {
+        "evals_per_s": round(evals / dt, 1),
+        "wall_s": round(dt, 4),
+        "compile_s": round(compile_s, 1),
+        "sweeps": sweeps,
+        "converged": bool(res.converged),
+        "impl": "pallas6d",
+        "workload": "attitude full 11^3x10^3 x 27, full-horizon converged "
+                    f"engine (cap {max_sweeps})",
+    }
+
+
 def main():
     import jax
 
     from ocdp_tpu.models import kirk
 
     which = os.environ.get(
-        "BENCH_FAMILIES", "kirk,attitude_axis,position,pos_att_channel,attitude_6d"
+        "BENCH_FAMILIES",
+        "kirk,attitude_axis,position,pos_att_channel,attitude_6d,"
+        "attitude_6d_converged,pos_att_highres",
     ).split(",")
     runners = {
         "kirk": bench_kirk,
@@ -284,6 +388,8 @@ def main():
         "position": bench_position,
         "pos_att_channel": bench_pos_att_channel,
         "attitude_6d": bench_attitude_6d,
+        "attitude_6d_converged": bench_attitude_6d_converged,
+        "pos_att_highres": bench_pos_att_highres,
     }
     unknown = [n.strip() for n in which if n.strip() not in runners]
     if unknown:
