@@ -376,6 +376,12 @@ def main():
     import jax
 
     from ocdp_tpu.models import kirk
+    from ocdp_tpu.profiling import enable_compilation_cache
+
+    # persistent compile cache: the 6-D Mosaic kernel costs ~40-60 s to
+    # compile cold; warm processes pay ~3 s (cache honored through the axon
+    # tunnel). compile_s fields report whatever this process actually paid.
+    enable_compilation_cache()
 
     which = os.environ.get(
         "BENCH_FAMILIES",

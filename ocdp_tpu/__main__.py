@@ -152,6 +152,9 @@ def main(argv=None):
     pb.set_defaults(fn=None)
 
     args = p.parse_args(argv)
+    from .profiling import enable_compilation_cache
+
+    enable_compilation_cache()   # big Mosaic kernels compile once per cache
     if args.cmd == "bench":
         import pathlib
         import runpy

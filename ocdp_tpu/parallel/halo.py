@@ -67,6 +67,7 @@ def value_iteration_finite_halo(
     mesh: Mesh,
     *,
     axis_name: str = "s",
+    action_axis_name: Optional[str] = None,
     action_chunk: Optional[int] = None,
     weight_mode: str = "onthefly",
     init_values: Optional[jax.Array] = None,
@@ -76,6 +77,17 @@ def value_iteration_finite_halo(
 
     The state grid's axis 0 must be divisible by the mesh axis size. Returns
     global (unsharded) results identical to the single-chip stencil engine.
+
+    ``action_axis_name``: optional SECOND mesh axis sharding the action-chunk
+    axis (the TP analog composed with the CP/halo analog — a 2-D
+    state x action mesh). Each device sweeps its action chunks over its row
+    block; the winners combine with one ``all_gather`` + first-min over the
+    action axis (device order along the axis = ascending action offset, so
+    MATLAB first-minimum semantics hold across shards — same scheme as
+    parallel/sharded.py). The table stays sharded over ``axis_name`` only
+    and is replicated across the action axis; halos ppermute within each
+    action column. Requires the chunk count to divide evenly across the
+    action mesh axis.
     """
     n_dev = mesh.shape[axis_name]
     sb = build_stencil_backup(plan, stage_cost, action_chunk=action_chunk,
@@ -93,11 +105,21 @@ def value_iteration_finite_halo(
     grid_shape = sb.grid_shape
     state_ndim = len(sb.state_shape)
 
+    n_chunks = sb.base.shape[1]
+    n_act_dev = mesh.shape[action_axis_name] if action_axis_name else 1
+    if action_axis_name:
+        if n_chunks % n_act_dev:
+            raise ValueError(
+                f"{n_chunks} action chunks do not divide across the "
+                f"{n_act_dev}-device action mesh axis; pick action_chunk so "
+                f"n_actions/action_chunk is a multiple of the axis size")
+        local_A = (n_chunks // n_act_dev) * sb.chunk
+
     if init_values is None:
         init_values = jnp.zeros(grid_shape, jnp.float32)
 
     def run(v_blk, offs, fracs, weights, costs, base):
-        # shard_map hands each device its (1, C, ...) slice; strip B axis.
+        # shard_map hands each device its (1, C_local, ...) slice; strip B.
         local = jax.tree.map(lambda a: a[0], (offs, fracs, weights, costs, base))
         # slice starts are relative to the local padded table, so b_start=0
         xs = (jnp.zeros((state_ndim,), jnp.int32),) + local
@@ -109,6 +131,15 @@ def value_iteration_finite_halo(
             v_halo = _halo_pad_axis0(v_local, axis_name, lo0, hi0, n_dev)
             v_pad = jnp.pad(v_halo, other_pads)
             vals, args = sb.block_sweep(v_pad, xs)
+            if action_axis_name:
+                # local chunk argmin -> global flat action index, then
+                # first-min combine across the action shards
+                args = args + jax.lax.axis_index(action_axis_name) * local_A
+                vals_g = jax.lax.all_gather(vals, action_axis_name)
+                args_g = jax.lax.all_gather(args, action_axis_name)
+                best = jnp.argmin(vals_g, axis=0)
+                vals = jnp.take_along_axis(vals_g, best[None], axis=0)[0]
+                args = jnp.take_along_axis(args_g, best[None], axis=0)[0]
             return (vals, args), (args.astype(pdt) if store_policies
                                   else None)
 
@@ -120,8 +151,15 @@ def value_iteration_finite_halo(
         return v_fin, args
 
     blocked = P(*([axis_name] + [None] * (state_ndim - 1)))
+
+    def arr_spec_for(a):
+        parts = [axis_name] + [None] * (a.ndim - 1)
+        if action_axis_name and a.ndim >= 2 and a.shape[1] == n_chunks:
+            parts[1] = action_axis_name
+        return P(*parts)
+
     arr_spec = jax.tree.map(
-        lambda a: P(*([axis_name] + [None] * (a.ndim - 1))),
+        arr_spec_for,
         (sb.off_res, sb.frac, sb.weights, sb.cost_blocked, sb.base),
     )
     in_specs = (blocked,) + arr_spec

@@ -14,9 +14,34 @@ The reference wraps every backup stage and rollout in ``tic``/``toc`` prints
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 
-__all__ = ["trace", "SweepTimer"]
+__all__ = ["enable_compilation_cache", "trace", "SweepTimer"]
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache and return its path.
+
+    The 6-D attitude Mosaic kernel costs ~40-60 s to compile at the
+    flagship 11^3x10^3 scale (the unrolled tap/weight program); the
+    persistent cache carries the compiled executable across PROCESSES, so
+    every run after the first pays ~3 s — measured through the axon
+    remote-compile tunnel, which honors the cache. bench.py and the CLI
+    call this on startup; library users should call it once before
+    building kernels. Override the location with ``cache_dir`` or the
+    ``OCDP_CACHE_DIR`` env var (default ``~/.cache/ocdp_tpu/jax``).
+    """
+    import jax
+
+    path = (cache_dir or os.environ.get("OCDP_CACHE_DIR")
+            or os.path.expanduser("~/.cache/ocdp_tpu/jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every nontrivial compile; kernels here are few and large
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
 
 
 @contextlib.contextmanager

@@ -29,6 +29,38 @@ def test_halo_matches_single_chip_stencil(store):
                                       np.asarray(ref.policies))
 
 
+@pytest.mark.parametrize("store", [False, True])
+def test_halo_2d_state_action_mesh_matches_single_chip(store):
+    """CP(halo) x TP(action) composition: 4 row shards x 2 action shards.
+    Values bitwise; argmin preserves global first-min across action
+    shards."""
+    problem = kirk.build(kirk.KirkConfig(N=10, dx=24, du=20))
+    sb = build_stencil_backup(problem.plan, problem.stage_cost,
+                              action_chunk=10)
+    ref = value_iteration_finite(problem.plan, problem.stage_cost, 9,
+                                 store_policies=store, backup=sb)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("s", "a"))
+    got = value_iteration_finite_halo(problem.plan, problem.stage_cost, 9,
+                                      mesh, action_axis_name="a",
+                                      action_chunk=10, store_policies=store)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+    if store:
+        np.testing.assert_array_equal(np.asarray(got.policies),
+                                      np.asarray(ref.policies))
+
+
+def test_halo_2d_mesh_rejects_indivisible_chunks():
+    problem = kirk.build(kirk.KirkConfig(N=6, dx=16, du=9))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("s", "a"))
+    with pytest.raises(ValueError, match="do not divide"):
+        value_iteration_finite_halo(problem.plan, problem.stage_cost, 3,
+                                    mesh, action_axis_name="a",
+                                    action_chunk=3)
+
+
 def test_halo_precomputed_weights_and_factorized_cost():
     cfg = kirk.KirkConfig(N=8, dx=16, du=10)
     problem = kirk.build(cfg)
