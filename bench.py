@@ -94,10 +94,13 @@ def _fetch(x):
 
 
 def _time_jitted(fn, *args, trials=2):
-    """Compile once, then min wall-clock over ``trials`` runs."""
+    """Compile once, then min wall-clock over ``trials`` runs.
+
+    ``compile_s`` = first-call wall MINUS the warm run time, so long-running
+    workloads (the 14.5 s converged 6-D solve) don't inflate it."""
     t0 = time.perf_counter()
     _fetch(fn(*args).values)
-    compile_s = time.perf_counter() - t0
+    first_s = time.perf_counter() - t0
     best = np.inf
     res = None
     for _ in range(trials):
@@ -105,7 +108,7 @@ def _time_jitted(fn, *args, trials=2):
         res = fn(*args)
         _fetch(res.values)
         best = min(best, time.perf_counter() - t0)
-    return best, compile_s, res
+    return best, max(first_s - best, 0.0), res
 
 
 def bench_kirk():

@@ -552,31 +552,43 @@ def get_optimal_path(
     h = cfg.h
     n = cfg.n_stage if t_final is None else int(np.ceil(t_final / h))
     R0, V0 = target_orbit_R0V0()
-    R0 = jnp.asarray(R0, jnp.float32)
-    V0 = jnp.asarray(V0, jnp.float32)
-    inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
-    inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
+    ctrls = [sol.controllers["x_failure" if ch == "x" and use_x_failure
+                             else ch] for ch in CHANNELS]
+    tables = tuple(jnp.asarray(c.force_tables) for c in ctrls)
+    axes = tuple(tuple(jnp.asarray(a) for a in c.axes) for c in ctrls)
+    y0 = default_x0() if x0 is None else jnp.asarray(x0, jnp.float32)
+    return _closed_loop(
+        tables, axes, y0,
+        jnp.asarray(R0, jnp.float32), jnp.asarray(V0, jnp.float32),
+        jnp.asarray(cfg.inertia_matrix, jnp.float32),
+        jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32),
+        n=n, h=h, arm=cfg.moment_arm, mass=cfg.mass,
+        accel_scale=cfg.accel_scale, integrator=integrator, ode_tol=ode_tol)
 
-    ctrls = {ch: sol.controllers["x_failure" if ch == "x" and use_x_failure
-                                else ch] for ch in CHANNELS}
-    tables = {ch: jnp.asarray(ctrls[ch].force_tables) for ch in CHANNELS}
-    axes = {ch: ctrls[ch].axes for ch in CHANNELS}
 
+@partial(jax.jit, static_argnames=("n", "h", "arm", "mass", "accel_scale",
+                                   "integrator", "ode_tol"))
+def _closed_loop(tables, axes, y0, R0, V0, inertia, inertia_inv, *, n, h,
+                 arm, mass, accel_scale, integrator, ode_tol):
+    """The 13-state scan behind :func:`get_optimal_path`, as one cached jit.
+
+    Module-level so repeated rollouts from different initial conditions —
+    the receding-horizon replanning pattern — reuse the traced/compiled
+    scan (replanning cost drops from ~20 s of per-call retracing to the
+    scan's run time)."""
     from ..ops.interp import nearest_eval
     from ..utils.integrators import adaptive_integrator
 
     _adaptive = adaptive_integrator(integrator)
     _kw = {} if integrator == "ode45" else {"tol": ode_tol}
-    _integ = lambda f, a, b, y: _adaptive(f, a, b, y, **_kw)  # noqa: E731
 
     # channel -> (position index, theta/omega index): x uses t_y, w_y etc.
-    att_idx = {"x": 1, "y": 2, "z": 0}
+    att_idx = (1, 2, 0)
 
-    def lookup(ch, xb, vb, t, w):
-        i = CHANNELS.index(ch)
-        pt = (xb[i], vb[i], t[att_idx[ch]], w[att_idx[ch]])
-        tab = tables[ch]
-        return jnp.stack([nearest_eval(tab[k], axes[ch], pt) for k in range(4)])
+    def lookup(i, xb, vb, t, w):
+        pt = (xb[i], vb[i], t[att_idx[i]], w[att_idx[i]])
+        return jnp.stack([nearest_eval(tables[i][k], axes[i], pt)
+                          for k in range(4)])
 
     def step(carry, k):
         y = carry
@@ -585,19 +597,18 @@ def get_optimal_path(
         xb = rsw_to_body(dr, q, R0, V0)
         vb = rsw_to_body(dv, q, R0, V0)
 
-        fx = lookup("x", xb, vb, t_ang, w)   # thrusters 0,1,6,7
-        fy = lookup("y", xb, vb, t_ang, w)   # thrusters 2,3,8,9
-        fz = lookup("z", xb, vb, t_ang, w)   # thrusters 4,5,10,11
+        fx = lookup(0, xb, vb, t_ang, w)     # thrusters 0,1,6,7
+        fy = lookup(1, xb, vb, t_ang, w)     # thrusters 2,3,8,9
+        fz = lookup(2, xb, vb, t_ang, w)     # thrusters 4,5,10,11
 
         # moments (to_Moments_Forces, :804-813)
-        arm = cfg.moment_arm
         U_M = jnp.stack([
             (fz[0] - fz[1] + fz[2] - fz[3]) * arm,   # about x
             (fx[0] - fx[1] + fx[2] - fx[3]) * arm,   # about y
             (fy[0] - fy[1] + fy[2] - fy[3]) * arm,   # about z
         ])
-        a_body = jnp.stack([jnp.sum(fx), jnp.sum(fy), jnp.sum(fz)]) / cfg.mass
-        a_rsw = body_to_rsw(a_body, q, R0, V0) * cfg.accel_scale
+        a_body = jnp.stack([jnp.sum(fx), jnp.sum(fy), jnp.sum(fz)]) / mass
+        a_rsw = body_to_rsw(a_body, q, R0, V0) * accel_scale
 
         def rates(tt, yy):
             trans = cw_relative_rates(tt, yy[0:6], a_rsw, R0, V0)
@@ -606,11 +617,10 @@ def get_optimal_path(
             return jnp.concatenate([trans, qdot, wdot])
 
         t0 = k * h
-        y_next = _integ(rates, t0, t0 + h, y)
+        y_next = _adaptive(rates, t0, t0 + h, y, **_kw)
         f12 = jnp.concatenate([fx[:2], fy[:2], fz[:2], fx[2:], fy[2:], fz[2:]])
         return y_next, (y, f12, jnp.concatenate([a_rsw, U_M]))
 
-    y0 = default_x0() if x0 is None else jnp.asarray(x0, jnp.float32)
     y_fin, (X, F_th, FM) = jax.lax.scan(step, y0, jnp.arange(n - 1))
     X = jnp.concatenate([X, y_fin[None]], axis=0)
     T = jnp.arange(n) * h

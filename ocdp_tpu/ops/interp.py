@@ -203,7 +203,8 @@ def nearest_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
         idx.append(jnp.where(pick_hi, lo + 1, lo))
     flat = jnp.asarray(values).reshape(-1)
     strides = np.ones(len(axes), dtype=np.int64)
-    shape = tuple(np.asarray(a).size for a in axes)
+    # np.shape (not np.asarray) so traced axis arrays work under jit
+    shape = tuple(int(np.shape(a)[0]) for a in axes)
     for k in range(len(axes) - 2, -1, -1):
         strides[k] = strides[k + 1] * shape[k + 1]
     lin = idx[0] * int(strides[0])
