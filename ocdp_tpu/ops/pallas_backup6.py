@@ -29,9 +29,14 @@ models/attitude.py):
   action-INDEPENDENT; the 8 Euler-corner reads are a small static set of
   flat LANE shifts (pltpu.roll along lanes), shared by all 27 actions.
 
-Per row-tile the kernel computes, for each live flat row-offset D,
-    A_D[r, c] = sum_{lane taps e} W_e(r, c) * roll(V[rows + D], e)[r, c]
-(the Euler interpolation, reused by every action), then for each action a
+Per row-tile the kernel computes, for each live flat row-offset D, the
+Euler interpolation of the shifted rows as SEPARABLE per-axis lerp passes
+    A_D = lerp_ax3(lerp_ax4(lerp_ax5( V[rows + D] )))
+(each pass = sum over that axis's taps of weight * lane-roll by
+tap*stride — O(sum taps) FMAs instead of the O(prod taps) joint-combo
+accumulation; exact at every real lane because a live tap keeps each axis
+digit in range, so cross-boundary rolls pair only with zero weights).
+A_D is reused by every action; then for each action a
     tot_a = sum_D Ww_{a,D}(r) * A_D + cost_u[a]
 with per-row scalar weights, and chains strict-< min/argmin over the flat
 C-order action index (= the reference's chained 3-axis argmin,
@@ -359,6 +364,7 @@ class PallasBackup6D:
                                 for c in self.row_combos)
         self.lane_deltas = tuple(sum(t * s for t, s in zip(c, lane_strides))
                                  for c in self.lane_combos)
+        self.lane_axis_strides = tuple(lane_strides)
         self.d_min = min(self.row_deltas)
         self.d_max = max(self.row_deltas)
         self.w_taps = tuple(tuple(t) for t in w_taps)
@@ -516,29 +522,31 @@ class PallasBackup6D:
         # with scratch staging is the shape that both compiles (~90s) and
         # runs.
 
-        # per-axis lane tap weights, shared across combos
-        e_w = []
+        # per-axis lane tap weights staged in scratch (each is reused by
+        # every row shift); slot map axis k, tap t -> we_scr row
+        e_slot = []
+        slot = 0
         for k in range(nc):
-            ws = {}
             off, fr = e_off[k][...], e_frac[k][...]
+            ws = {}
             for t in self.e_taps[k]:
-                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                we_scr[slot, :, :] = jnp.where(off == t, 1.0 - fr, 0.0) \
                     + jnp.where(off == t - 1, fr, 0.0)
-            e_w.append(ws)
-
-        # we_scr[i] = lane-combo weight product (row-shift-invariant)
-        for i, combo in enumerate(self.lane_combos):
-            w = None
-            for k, t in enumerate(combo):
-                w = e_w[k][t] if w is None else w * e_w[k][t]
-            we_scr[i, :, :] = w
+                ws[t] = slot
+                slot += 1
+            e_slot.append(ws)
 
         # a_scr[j] = lane-interpolated value rows for each flat row shift.
-        # Row shifts are processed in PAIRS with the lane-combo loop inside:
-        # each we_scr slot is read once per pair instead of once per shift,
-        # halving the kernel's dominant VMEM traffic (the 27x27 weighted
-        # accumulate reads ~3.9 GB/sweep of scratch at the flagship size in
-        # the one-shift-at-a-time order).
+        # The multilinear lane interpolation is SEPARABLE: one lerp pass per
+        # Euler axis (sum over that axis's taps of weight * lane-roll by
+        # tap*stride) applied sequentially — O(sum taps) ~ 9 FMA+roll per
+        # row shift instead of the O(prod taps) = 27 joint-combo
+        # accumulation (the kernel's former dominant cost). The flat-shift
+        # zero-weight trick holds PER AXIS: a live tap keeps every axis
+        # digit in range, so cross-boundary / padded-lane rolls only ever
+        # pair with zero weights at real lanes, and each pass's
+        # intermediate is exact at every real lane. Passes stage through
+        # a_scr[j] to bound Mosaic live ranges.
         nj = len(self.row_deltas)
         G = self.row_delta_group
 
@@ -579,16 +587,22 @@ class PallasBackup6D:
                 for j in range(j0 + G, min(j0 + 2 * G, nj)):
                     win_dma(j).start()
             rows_g = [load_rows(j) for j in group]
-            accs = [None] * len(rows_g)
-            for i, dlane in enumerate(self.lane_deltas):
-                w = we_scr[i, :, :]
-                for gi, rows in enumerate(rows_g):
-                    lane = pltpu.roll(rows, (-dlane) % NE, 1) \
-                        if dlane % NE else rows
-                    term = w * lane
-                    accs[gi] = term if accs[gi] is None else accs[gi] + term
             for gi, j in enumerate(group):
-                a_scr[j, :, :] = accs[gi]
+                cur = rows_g[gi]
+                if nc == 0:
+                    a_scr[j, :, :] = cur
+                    continue
+                for k in range(nc - 1, -1, -1):  # innermost (stride 1) first
+                    stride = self.lane_axis_strides[k]
+                    acc = None
+                    for t in self.e_taps[k]:
+                        d = (t * stride) % NE
+                        sh = pltpu.roll(cur, (-t * stride) % NE, 1) if d \
+                            else cur
+                        term = we_scr[e_slot[k][t], :, :] * sh
+                        acc = term if acc is None else acc + term
+                    a_scr[j, :, :] = acc
+                    cur = a_scr[j, :, :]
 
         # per-axis row tap weights: (T, n_actions) each
         w_w = []
@@ -733,7 +747,8 @@ class PallasBackup6D:
                     "c_row_j", "c_lane_j")
     _AUX_FIELDS = ("state_shape", "n_actions", "NW", "NE", "NEp", "NWp",
                    "row_tile", "interpret", "row_combos", "lane_combos",
-                   "row_deltas", "lane_deltas", "d_min", "d_max",
+                   "row_deltas", "lane_deltas", "lane_axis_strides",
+                   "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
                    "action_digits", "row_delta_group", "table_hbm")
 
@@ -784,9 +799,10 @@ class PallasBackup6D:
         in_specs += [tile2(a) for a in args[:-1]]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_lane
 
+        n_we = max(sum(len(t) for t in self.e_taps), 1)
         scratch_shapes = [
             pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
-            pltpu.VMEM((len(self.lane_deltas), T, NE), jnp.float32),
+            pltpu.VMEM((n_we, T, NE), jnp.float32),
             pltpu.VMEM((self.bc_slots, T, NE), jnp.float32),
         ]
         if hbm:

@@ -35,7 +35,11 @@ def test_single_sweep_matches_gather(small_problem):
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               rtol=1e-6, atol=1e-5)
+                               # separable per-axis lane lerp associates differently from the
+                               # gather oracle's joint corner weights; with
+                               # extrapolating fracs (|w|~13 at edges) the
+                               # rounding delta reaches ~1e-5 relative
+                               rtol=3e-5, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
@@ -60,7 +64,11 @@ def test_row_tile_not_dividing_rows(small_problem):
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               rtol=1e-6, atol=1e-5)
+                               # separable per-axis lane lerp associates differently from the
+                               # gather oracle's joint corner weights; with
+                               # extrapolating fracs (|w|~13 at edges) the
+                               # rounding delta reaches ~1e-5 relative
+                               rtol=3e-5, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
@@ -74,7 +82,11 @@ def test_asymmetric_euler_meshes():
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               rtol=1e-6, atol=1e-5)
+                               # separable per-axis lane lerp associates differently from the
+                               # gather oracle's joint corner weights; with
+                               # extrapolating fracs (|w|~13 at edges) the
+                               # rounding delta reaches ~1e-5 relative
+                               rtol=3e-5, atol=5e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
