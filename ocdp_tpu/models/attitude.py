@@ -284,8 +284,14 @@ class FullSolution(NamedTuple):
         return jnp.stack([u[i1], u[i2], u[i3]])
 
 
-def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None):
+def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
+               edge: str = "extrapolate"):
     """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
+
+    ``edge``: out-of-grid value policy — 'extrapolate' (strict reference
+    parity, default; V stays bounded at the reference config over its full
+    horizon — measured) or 'clamp' (boundary projection, unconditionally
+    stable; see ops/interp.build_plan).
 
     Small grids run pinned to the host CPU backend: the precompute is dozens
     of tiny broadcast ops, and dispatching each through the TPU tunnel costs
@@ -311,11 +317,12 @@ def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None):
         # and cannot even exist in HBM at 27^3x18^3 (NOTES.md)
         plan, cost_terms = jax.jit(
             lambda: _plan_and_cost(cfg, grid, s_w, s_yaw, s_pitch, s_roll,
-                                   flat=flat))()
+                                   flat=flat, edge=edge))()
     else:
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             plan, cost_terms = _plan_and_cost(cfg, grid, s_w, s_yaw,
-                                              s_pitch, s_roll, flat=flat)
+                                              s_pitch, s_roll, flat=flat,
+                                              edge=edge)
     return grid, plan, cost_terms
 
 
@@ -326,7 +333,7 @@ def plan_is_flat(plan) -> bool:
 
 
 def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
-                   flat: bool = False):
+                   flat: bool = False, edge: str = "extrapolate"):
     J1, J2, J3 = cfg.inertia_diag
     h = cfg.h
     nu = len(cfg.u_vector)
@@ -391,7 +398,8 @@ def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
             return q.reshape(NW, NE, 1)
 
         plan = build_plan(grid.axes, (fw(w1n), fw(w2n), fw(w3n),
-                                      fe(yaw_n), fe(pitch_n), fe(roll_n)))
+                                      fe(yaw_n), fe(pitch_n), fe(roll_n)),
+                          edge=edge)
         cost_flat = (
             jnp.broadcast_to(cost_terms[0],
                              (nmw,) * 3 + (1,) * 6).reshape(NW, 1, 1),
@@ -414,7 +422,7 @@ def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
 
     queries = tuple(flat_actions(q) for q in
                     (w1n, w2n, w3n, yaw_n, pitch_n, roll_n))
-    plan = build_plan(grid.axes, queries)
+    plan = build_plan(grid.axes, queries, edge=edge)
     cost_terms = tuple(flat_actions(t) for t in cost_terms)
     return plan, cost_terms
 
@@ -427,13 +435,14 @@ def solve_full(
     action_chunk: int = 9,
     state_blocks: Optional[int] = None,
     weight_mode: str = "precomputed",
+    edge: str = "extrapolate",
 ) -> FullSolution:
     """``action_chunk`` and ``state_blocks`` bound the live intermediates of
     the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
     sweeps crashed a v5e). Default blocking targets ~2M-element working sets
     per (block x chunk). ``impl='auto'`` = the 6-D Pallas kernel on TPU (the
     only path that scales past ~1M cells there), the stencil elsewhere."""
-    grid, plan, cost = build_full(cfg)
+    grid, plan, cost = build_full(cfg, edge=edge)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
