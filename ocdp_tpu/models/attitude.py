@@ -600,20 +600,21 @@ def rollout_simplified_real_dynamics(
     x0: Optional[jnp.ndarray] = None,
     *,
     num_stages: Optional[int] = None,
-    ode_tol: float = 1e-8,
+    ode_tol: Optional[float] = None,
     integrator: str = "ode45",
 ):
     """Train-on-simplified / validate-on-real (:835-925): per-axis policies
     looked up at (omega_i, 2*asin(kirk q_i)), plant = full nonlinear rigid
     body with the complete inertia matrix, integrated per stage with
     ``integrator``: 'ode45' (default; the reference uses MATLAB ode45 here,
-    Solver_attitude.m:851,885) or 'rkf45' (Fehlberg at ``ode_tol``)."""
-    from ..utils.integrators import adaptive_integrator
+    Solver_attitude.m:851,885) or 'rkf45' (Fehlberg). ``ode_tol=None``
+    keeps each pair's reference defaults; an explicit value sets rkf45's
+    tol, or ode45's RelTol with AbsTol at MATLAB's 1e-3 ratio."""
+    from ..utils.integrators import integrator_kwargs
 
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
-    _adaptive = adaptive_integrator(integrator)
-    _kw = {} if integrator == "ode45" else {"tol": ode_tol}
+    _adaptive, _kw = integrator_kwargs(integrator, ode_tol)
     inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
     inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
     tables = sol.u_tables

@@ -125,17 +125,19 @@ def solve(
     auto = impl == "auto"
     if auto:
         impl = default_impl("pallas")
+    def _chunk():
+        return (config.du if config.du <= 64
+                else _largest_divisor_leq(config.du, 50))
+
     backup = None
     if impl == "stencil":
-        chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
         backup = build_stencil_backup(problem.plan, problem.stage_cost,
-                                      action_chunk=chunk)
+                                      action_chunk=_chunk())
     elif impl == "basegather":
         from ..ops.basegather import build_basegather_backup
 
-        chunk = config.du if config.du <= 64 else _largest_divisor_leq(config.du, 50)
         backup = build_basegather_backup(problem.plan, problem.stage_cost,
-                                         action_chunk=chunk)
+                                         action_chunk=_chunk())
     elif impl == "sheargather":
         from ..ops.sheargather import build_sheargather_backup
 
@@ -154,10 +156,8 @@ def solve(
             if not auto:
                 raise
             # auto fallback: dynamics this grid can't shear-band
-            backup = build_stencil_backup(
-                problem.plan, problem.stage_cost,
-                action_chunk=(config.du if config.du <= 64
-                              else _largest_divisor_leq(config.du, 50)))
+            backup = build_stencil_backup(problem.plan, problem.stage_cost,
+                                          action_chunk=_chunk())
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

@@ -535,15 +535,18 @@ def get_optimal_path(
     *,
     t_final: Optional[float] = None,
     use_x_failure: bool = False,
-    ode_tol: float = 1e-8,
+    ode_tol: Optional[float] = None,
     integrator: str = "ode45",
 ):
     """Closed-loop 13-state rollout (:452-730) as one on-device scan.
 
-    ``integrator``: 'ode45' (default; Dormand-Prince with MATLAB-default
-    RelTol/AbsTol — the reference integrates this plant with ode45,
-    Solver_pos_att.m:504) or 'rkf45' (Curtis/Fehlberg pair at ``ode_tol``;
-    trajectories agree to integration tolerance, tests/test_pos_att.py).
+    ``integrator``: 'ode45' (default; Dormand-Prince — the reference
+    integrates this plant with ode45, Solver_pos_att.m:504) or 'rkf45'
+    (Curtis/Fehlberg pair; trajectories agree to integration tolerance,
+    tests/test_pos_att.py). ``ode_tol=None`` keeps each pair's reference
+    defaults (ode45: MATLAB RelTol=1e-3/AbsTol=1e-6; rkf45: the Curtis
+    1e-8); an explicit value sets rkf45's tol, or ode45's RelTol with
+    AbsTol at MATLAB's default 1e-3 ratio.
 
     Returns (T, X, F_th, FM): times (N,), states (N, 13), thruster forces
     (N-1, 12), and the force/moment log (N-1, 6) = [a_rsw (3), U_M (3)].
@@ -577,10 +580,9 @@ def _closed_loop(tables, axes, y0, R0, V0, inertia, inertia_inv, *, n, h,
     scan (replanning cost drops from ~20 s of per-call retracing to the
     scan's run time)."""
     from ..ops.interp import nearest_eval
-    from ..utils.integrators import adaptive_integrator
+    from ..utils.integrators import integrator_kwargs
 
-    _adaptive = adaptive_integrator(integrator)
-    _kw = {} if integrator == "ode45" else {"tol": ode_tol}
+    _adaptive, _kw = integrator_kwargs(integrator, ode_tol)
 
     # channel -> (position index, theta/omega index): x uses t_y, w_y etc.
     att_idx = (1, 2, 0)

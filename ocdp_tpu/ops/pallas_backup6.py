@@ -30,12 +30,17 @@ models/attitude.py):
   flat LANE shifts (pltpu.roll along lanes), shared by all 27 actions.
 
 Per row-tile the kernel computes, for each live flat row-offset D, the
-Euler interpolation of the shifted rows as SEPARABLE per-axis lerp passes
+lane interpolation of the shifted rows. When every lane axis's (lo, frac)
+depends only on its OWN coordinate (+ rows) — pos-att's channels — this
+runs as SEPARABLE per-axis lerp passes
     A_D = lerp_ax3(lerp_ax4(lerp_ax5( V[rows + D] )))
-(each pass = sum over that axis's taps of weight * lane-roll by
-tap*stride — O(sum taps) FMAs instead of the O(prod taps) joint-combo
-accumulation; exact at every real lane because a live tap keeps each axis
-digit in range, so cross-boundary rolls pair only with zero weights).
+(O(sum taps) FMAs; exact because shifted intermediates carry the right
+weights, and cross-boundary rolls pair only with zero weights). When the
+lane fracs COUPLE across lane axes — the attitude Euler queries, whose
+quaternion step mixes all three angles — separable passes would evaluate
+axis k's weight at the other axes' shifted cells (measured 8e-4 deviation
+from the oracle), so the kernel keeps the joint-combo accumulation
+    A_D[r, c] = sum_{lane combos e} W_e(r, c) * roll(V[rows + D], e)[r, c].
 A_D is reused by every action; then for each action a
     tot_a = sum_D Ww_{a,D}(r) * A_D + cost_u[a]
 with per-row scalar weights, and chains strict-< min/argmin over the flat
@@ -314,12 +319,25 @@ class PallasBackup6D:
         # lane position (flat plans) or a broadcast arange (full plans).
         e_off, e_frac = [], []
         lane_lo, lane_fr, lane_iota = [], [], []
+        # SEPARABLE lane interpolation (one lerp pass per lane axis, O(sum
+        # taps) instead of O(prod taps) joint combos) is exact ONLY when
+        # each lane axis's (lo, frac) is independent of the OTHER lane
+        # axes' coordinates — true for pos-att (x' = f(x, rows),
+        # theta' = f(theta, rows)) but NOT for the 6-D attitude Euler
+        # queries, whose quaternion step couples all three angles. Detected
+        # from the plan's broadcast shapes; flat plans are dense (NW, NE)
+        # and treated as coupled.
+        lane_separable = not self.flat
         for k in range(nr, d):
             lo_d, fr_d = plan.lo[k], plan.frac[k]
             if lo_d.shape[-1] > 1 or fr_d.shape[-1] > 1:
                 raise ValueError(
                     f"lane axis {k} query varies with the action — "
                     "not row/lane separable; use the stencil/gather backup")
+            if not self.flat:
+                for j in range(nr, d):
+                    if j != k and (lo_d.shape[j] > 1 or fr_d.shape[j] > 1):
+                        lane_separable = False
             if self.flat:
                 iota = ((np.arange(self.NE, dtype=np.int32)
                          // lane_strides[k - nr]) % state_shape[k])[None, :]
@@ -344,6 +362,7 @@ class PallasBackup6D:
             e_taps, lane_combos = _corner_live_sets(e_off, e_frac)
         self.row_combos = tuple(row_combos)    # flat row offs
         self.lane_combos = tuple(lane_combos)  # flat lane offs
+        self.lane_separable = lane_separable
 
         # Action-digit factorization: when row axis k's (off, frac) depend
         # only on digit k of the C-order action index (true for attitude —
@@ -522,31 +541,54 @@ class PallasBackup6D:
         # with scratch staging is the shape that both compiles (~90s) and
         # runs.
 
-        # per-axis lane tap weights staged in scratch (each is reused by
-        # every row shift); slot map axis k, tap t -> we_scr row
-        e_slot = []
-        slot = 0
+        # per-axis lane tap weights, shared across combos/passes
+        e_w = []
         for k in range(nc):
-            off, fr = e_off[k][...], e_frac[k][...]
             ws = {}
+            off, fr = e_off[k][...], e_frac[k][...]
             for t in self.e_taps[k]:
-                we_scr[slot, :, :] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
                     + jnp.where(off == t - 1, fr, 0.0)
-                ws[t] = slot
-                slot += 1
-            e_slot.append(ws)
+            e_w.append(ws)
+
+        if self.lane_separable:
+            # stage the per-axis weights in scratch (each is reused by
+            # every row shift); slot map axis k, tap t -> we_scr row
+            e_slot = []
+            slot = 0
+            for k in range(nc):
+                ws = {}
+                for t in self.e_taps[k]:
+                    we_scr[slot, :, :] = e_w[k][t]
+                    ws[t] = slot
+                    slot += 1
+                e_slot.append(ws)
+        else:
+            # we_scr[i] = joint lane-combo weight product. Joint combos are
+            # REQUIRED when a lane axis's frac depends on the other lane
+            # axes (the attitude Euler queries): a separable pass would
+            # evaluate axis k's weight at the other axes' SHIFTED cells —
+            # measured 8e-4 deviation from the oracle, a different
+            # operator, not rounding.
+            for i, combo in enumerate(self.lane_combos):
+                w = None
+                for k, t in enumerate(combo):
+                    w = e_w[k][t] if w is None else w * e_w[k][t]
+                we_scr[i, :, :] = w
 
         # a_scr[j] = lane-interpolated value rows for each flat row shift.
-        # The multilinear lane interpolation is SEPARABLE: one lerp pass per
-        # Euler axis (sum over that axis's taps of weight * lane-roll by
-        # tap*stride) applied sequentially — O(sum taps) ~ 9 FMA+roll per
-        # row shift instead of the O(prod taps) = 27 joint-combo
-        # accumulation (the kernel's former dominant cost). The flat-shift
-        # zero-weight trick holds PER AXIS: a live tap keeps every axis
-        # digit in range, so cross-boundary / padded-lane rolls only ever
-        # pair with zero weights at real lanes, and each pass's
-        # intermediate is exact at every real lane. Passes stage through
-        # a_scr[j] to bound Mosaic live ranges.
+        # Separable plans run one lerp pass per lane axis (sum over that
+        # axis's taps of weight * lane-roll by tap*stride) — O(sum taps)
+        # ~ 6 FMA+roll per row shift instead of O(prod taps) joint combos;
+        # exact because each axis's weights depend only on its own digit
+        # (+ rows), so shifted intermediates carry the right weights. The
+        # flat-shift zero-weight trick holds per axis (a live tap keeps
+        # every digit in range), so pad/cross-boundary rolls only pair
+        # with zero weights at real lanes. Passes stage through a_scr[j]
+        # to bound Mosaic live ranges. Coupled plans (attitude) keep the
+        # joint-combo accumulate, processed in row-shift PAIRS so each
+        # we_scr slot is read once per pair (halves the dominant scratch
+        # traffic).
         nj = len(self.row_deltas)
         G = self.row_delta_group
 
@@ -587,22 +629,35 @@ class PallasBackup6D:
                 for j in range(j0 + G, min(j0 + 2 * G, nj)):
                     win_dma(j).start()
             rows_g = [load_rows(j) for j in group]
-            for gi, j in enumerate(group):
-                cur = rows_g[gi]
-                if nc == 0:
-                    a_scr[j, :, :] = cur
-                    continue
-                for k in range(nc - 1, -1, -1):  # innermost (stride 1) first
-                    stride = self.lane_axis_strides[k]
-                    acc = None
-                    for t in self.e_taps[k]:
-                        d = (t * stride) % NE
-                        sh = pltpu.roll(cur, (-t * stride) % NE, 1) if d \
-                            else cur
-                        term = we_scr[e_slot[k][t], :, :] * sh
-                        acc = term if acc is None else acc + term
-                    a_scr[j, :, :] = acc
-                    cur = a_scr[j, :, :]
+            if self.lane_separable:
+                for gi, j in enumerate(group):
+                    cur = rows_g[gi]
+                    if nc == 0:
+                        a_scr[j, :, :] = cur
+                        continue
+                    for k in range(nc - 1, -1, -1):  # innermost first
+                        stride = self.lane_axis_strides[k]
+                        acc = None
+                        for t in self.e_taps[k]:
+                            dl = (t * stride) % NE
+                            sh = pltpu.roll(cur, (-t * stride) % NE, 1) \
+                                if dl else cur
+                            term = we_scr[e_slot[k][t], :, :] * sh
+                            acc = term if acc is None else acc + term
+                        a_scr[j, :, :] = acc
+                        cur = a_scr[j, :, :]
+            else:
+                accs = [None] * len(rows_g)
+                for i, dlane in enumerate(self.lane_deltas):
+                    w = we_scr[i, :, :]
+                    for gi, rows in enumerate(rows_g):
+                        lane = pltpu.roll(rows, (-dlane) % NE, 1) \
+                            if dlane % NE else rows
+                        term = w * lane
+                        accs[gi] = term if accs[gi] is None \
+                            else accs[gi] + term
+                for gi, j in enumerate(group):
+                    a_scr[j, :, :] = accs[gi]
 
         # per-axis row tap weights: (T, n_actions) each
         w_w = []
@@ -748,7 +803,7 @@ class PallasBackup6D:
     _AUX_FIELDS = ("state_shape", "n_actions", "NW", "NE", "NEp", "NWp",
                    "row_tile", "interpret", "row_combos", "lane_combos",
                    "row_deltas", "lane_deltas", "lane_axis_strides",
-                   "d_min", "d_max",
+                   "lane_separable", "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
                    "action_digits", "row_delta_group", "table_hbm")
 
@@ -799,7 +854,8 @@ class PallasBackup6D:
         in_specs += [tile2(a) for a in args[:-1]]
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_lane
 
-        n_we = max(sum(len(t) for t in self.e_taps), 1)
+        n_we = max(sum(len(t) for t in self.e_taps), 1) \
+            if self.lane_separable else len(self.lane_deltas)
         scratch_shapes = [
             pltpu.VMEM((len(self.row_deltas), T, NE), jnp.float32),
             pltpu.VMEM((n_we, T, NE), jnp.float32),

@@ -199,3 +199,19 @@ def adaptive_integrator(name: str):
         raise ValueError(
             f"unknown integrator {name!r}; choose from {sorted(_ADAPTIVE)}"
         ) from None
+
+
+def integrator_kwargs(name: str, tol=None):
+    """Resolve ``(integrator_fn, tolerance_kwargs)`` for the rollouts.
+
+    ``tol=None`` keeps each pair's reference defaults (rkf45: the Curtis
+    1e-8; ode45: MATLAB RelTol=1e-3 / AbsTol=1e-6). An explicit ``tol``
+    sets rkf45's ``tol`` directly, or ode45's RelTol with AbsTol held at
+    MATLAB's default 1e-3 ratio — it is never silently ignored.
+    """
+    fn = adaptive_integrator(name)
+    if tol is None:
+        return fn, ({"tol": 1e-8} if name == "rkf45" else {})
+    if name == "rkf45":
+        return fn, {"tol": tol}
+    return fn, {"rtol": tol, "atol": 1e-3 * tol}

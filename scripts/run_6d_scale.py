@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    if len(sys.argv) > 4:   # the old 4th arg (impl) no longer exists
+        raise SystemExit(f"usage: {sys.argv[0]} [n_mesh_w] [n_mesh_q] "
+                         f"[sweeps]  (got extra args {sys.argv[4:]})")
     n_w = int(sys.argv[1]) if len(sys.argv) > 1 else 11
     n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sweeps = int(sys.argv[3]) if len(sys.argv) > 3 else 50

@@ -35,11 +35,7 @@ def test_single_sweep_matches_gather(small_problem):
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               # separable per-axis lane lerp associates differently from the
-                               # gather oracle's joint corner weights; with
-                               # extrapolating fracs (|w|~13 at edges) the
-                               # rounding delta reaches ~1e-5 relative
-                               rtol=3e-5, atol=5e-5)
+                               rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
@@ -64,11 +60,7 @@ def test_row_tile_not_dividing_rows(small_problem):
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               # separable per-axis lane lerp associates differently from the
-                               # gather oracle's joint corner weights; with
-                               # extrapolating fracs (|w|~13 at edges) the
-                               # rounding delta reaches ~1e-5 relative
-                               rtol=3e-5, atol=5e-5)
+                               rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
@@ -82,11 +74,7 @@ def test_asymmetric_euler_meshes():
     ref = bellman_backup(v, plan, _full_cost(plan, cost))
     out = bk(v)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(ref.values),
-                               # separable per-axis lane lerp associates differently from the
-                               # gather oracle's joint corner weights; with
-                               # extrapolating fracs (|w|~13 at edges) the
-                               # rounding delta reaches ~1e-5 relative
-                               rtol=3e-5, atol=5e-5)
+                               rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.argmin),
                                   np.asarray(ref.argmin))
 
@@ -128,7 +116,8 @@ def test_flat_plan_solve_full_end_to_end(small_problem, monkeypatch):
     """solve_full over a flat plan (PlanShape shim + engine) == full plan."""
     cfg, _, _, _ = small_problem
     orig = attitude.build_full
-    monkeypatch.setattr(attitude, "build_full", lambda c: orig(c, flat=True))
+    monkeypatch.setattr(attitude, "build_full",
+                        lambda c, **kw: orig(c, flat=True, **kw))
     sol_f = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
     monkeypatch.undo()
     sol = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
@@ -142,7 +131,7 @@ def test_flat_plan_rejects_stencil_impl(small_problem, monkeypatch):
     cfg, _, _, _ = small_problem
     orig = attitude.build_full
     monkeypatch.setattr(attitude, "build_full",
-                        lambda c: orig(c, flat=True))
+                        lambda c, **kw: orig(c, flat=True, **kw))
     with pytest.raises(ValueError, match="pallas"):
         attitude.solve_full(cfg, num_sweeps=1, impl="stencil")
 
@@ -172,3 +161,22 @@ def test_tie_break_first_min():
     # queries are exact at h=0; the Euler readback is not bit-exact)
     np.testing.assert_allclose(np.asarray(out.values), np.asarray(v),
                                atol=2e-6)
+
+
+def test_lane_separability_detection(small_problem):
+    """Separable per-axis lane passes are exact ONLY when each lane axis's
+    frac is independent of the other lane axes. The attitude Euler queries
+    couple all three angles (quaternion step) -> joint combos; the pos-att
+    channel's (x, theta) lanes each depend only on their own coordinate
+    (+ rows) -> separable."""
+    _, _, plan, cost = small_problem
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    assert not bk.lane_separable
+
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig(n_mesh_x=6, n_mesh_v=6, n_mesh_t=5,
+                               n_mesh_w=4, T_final=0.25)
+    problem = pos_att.build_channel(cfg, "x")
+    rb = pos_att.build_channel_rowlane_backup(cfg, problem)
+    assert rb.bk.lane_separable  # the wrapped permuted kernel
