@@ -284,8 +284,13 @@ class FullSolution(NamedTuple):
         return jnp.stack([u[i1], u[i2], u[i3]])
 
 
+# past this many cells the one-shot flat build's transients (~12 table-
+# sized arrays live inside one jit) exhaust HBM — chunk over row blocks
+_CHUNKED_BUILD_MIN_CELLS = 60_000_000
+
+
 def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
-               edge: str = "extrapolate"):
+               edge: str = "extrapolate", chunked: Optional[bool] = None):
     """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
 
     ``edge``: out-of-grid value policy — 'extrapolate' (strict reference
@@ -299,7 +304,11 @@ def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
     solve transfers the finished plan/cost to the chip in one hop. Big grids
     (envelope scales) instead run the whole precompute as ONE jitted TPU
     dispatch — the table-sized plan arrays are born on the chip and never
-    cross the tunnel (host build at 27^3x18^3 cost 192s, NOTES.md).
+    cross the tunnel (host build at 27^3x18^3 cost 192s, NOTES.md). Past
+    ~60M cells the Euler lo/frac arrays are filled in ROW-BLOCK chunks with
+    donated in-place updates (``chunked``; auto) — the one-shot jit's ~12
+    live table-sized transients are what OOM'd the 167M-cell grid, not the
+    steady-state plan.
     """
     s_w = linspace_axis(cfg.w_min_deg * _DEG, cfg.w_max_deg * _DEG, cfg.n_mesh_w)
     (y_lo, y_hi), (p_lo, p_hi), (r_lo, r_hi) = cfg.euler_ranges
@@ -307,11 +316,19 @@ def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
     s_pitch = linspace_axis(p_lo, p_hi, cfg.n_mesh_q)
     s_roll = linspace_axis(r_lo, r_hi, cfg.n_mesh_q)
     grid = Grid((s_w, s_w, s_w, s_yaw, s_pitch, s_roll))
-    big = int(np.prod(grid.shape)) > 8_000_000
+    cells = int(np.prod(grid.shape))
+    big = cells > 8_000_000
     on_device = big and jax.default_backend() == "tpu"
     if flat is None:
         flat = on_device
-    if on_device:
+    if chunked is None:
+        chunked = on_device and flat and cells > _CHUNKED_BUILD_MIN_CELLS
+    if chunked:
+        if not flat:
+            raise ValueError("chunked build requires the flat layout")
+        plan, cost_terms = _plan_and_cost_flat_chunked(
+            cfg, grid, s_w, s_yaw, s_pitch, s_roll, edge=edge)
+    elif on_device:
         # FLAT plan arrays — (NW, 1, A) / (NW, NE, 1) — stay well-tiled on
         # the chip; the 6-D broadcast shapes pay ~9.5x TPU layout padding
         # and cannot even exist in HBM at 27^3x18^3 (NOTES.md)
@@ -427,6 +444,143 @@ def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
     return plan, cost_terms
 
 
+def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
+                                s_pitch, s_roll, edge: str = "extrapolate"):
+    """Flat plan built in ROW-BLOCK chunks (envelope scales).
+
+    The one-shot flat build keeps ~12 (NW, NE) f32 transients live inside
+    a single jit (quaternion step, renorm, Euler readback, searchsorted
+    temps) — at 167M cells that is ~8 GB of transients on top of the 4 GB
+    plan, the measured OOM. Here the small pieces (omega row arrays, lane
+    q components, factorized cost) build in one tiny dispatch, and the six
+    Euler lo/frac tables fill block-by-block with donated in-place
+    ``dynamic_update_slice`` steps — peak transient = one block's worth.
+    Same arithmetic as :func:`_plan_and_cost`; the last block overlaps
+    backward (idempotent rewrite) when the block size doesn't divide NW.
+    """
+    from functools import partial as _partial
+
+    from ..ops.interp import axis_locate
+
+    J1, J2, J3 = cfg.inertia_diag
+    h = cfg.h
+    nu = len(cfg.u_vector)
+    nmw, nmq = cfg.n_mesh_w, cfg.n_mesh_q
+    NW, NE, A = nmw**3, nmq**3, nu**3
+
+    def small_parts():
+        # omega row arrays (NW, 1, A) + lane q components (NE,) + cost
+        w1 = jnp.asarray(s_w).reshape(-1, 1, 1, 1, 1, 1)
+        w2 = jnp.asarray(s_w).reshape(1, -1, 1, 1, 1, 1)
+        w3 = jnp.asarray(s_w).reshape(1, 1, -1, 1, 1, 1)
+        u1 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, -1, 1, 1)
+        u2 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, -1, 1)
+        u3 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, 1, -1)
+        w1n = w1 + h * ((J2 - J3) / J1 * w2 * w3 + u1 / J1)
+        w2n = w2 + h * ((J3 - J1) / J2 * w3 * w1 + u2 / J2)
+        w3n = w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3)
+
+        def fw(q):
+            q = jnp.broadcast_to(q, (nmw,) * 3 + (nu,) * 3)
+            return q.reshape(NW, 1, A)
+
+        cy = jnp.cos(jnp.asarray(s_yaw) / 2).reshape(-1, 1, 1)
+        sy = jnp.sin(jnp.asarray(s_yaw) / 2).reshape(-1, 1, 1)
+        cp = jnp.cos(jnp.asarray(s_pitch) / 2).reshape(1, -1, 1)
+        sp = jnp.sin(jnp.asarray(s_pitch) / 2).reshape(1, -1, 1)
+        cr = jnp.cos(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
+        sr = jnp.sin(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
+        q1 = (sy * cp * cr - cy * sp * sr).reshape(NE)
+        q2 = (cy * sp * cr + sy * cp * sr).reshape(NE)
+        q3 = (cy * cp * sr - sy * sp * cr).reshape(NE)
+        q4 = jnp.sqrt(jnp.maximum(1.0 - (q1**2 + q2**2 + q3**2), 0.0))
+
+        c_row = (cfg.Qw[0] * w1**2 + cfg.Qw[1] * w2**2
+                 + cfg.Qw[2] * w3**2)
+        c_row = jnp.broadcast_to(c_row, (nmw,) * 3 + (1,) * 3).reshape(NW, 1, 1)
+        c_lane = (cfg.Qq[0] * q1**2 + cfg.Qq[1] * q2**2
+                  + cfg.Qq[2] * q3**2).reshape(1, NE, 1)
+        c_act = (cfg.R[0] * u1**2 + cfg.R[1] * u2**2 + cfg.R[2] * u3**2)
+        c_act = jnp.broadcast_to(c_act, (1,) * 3 + (nu,) * 3).reshape(1, 1, A)
+        return ((fw(w1n), fw(w2n), fw(w3n)), (q1, q2, q3, q4),
+                (c_row, c_lane, c_act))
+
+    (w_next, q_lane, cost_flat) = jax.jit(small_parts)()
+    # host per-row omega values (row digit decode; exact f32 grid values)
+    sw = np.asarray(s_w, np.float32)
+    wr = (np.repeat(sw, nmw * nmw),
+          np.tile(np.repeat(sw, nmw), nmw),
+          np.tile(sw, nmw * nmw))
+
+    # block size: a multiple of nmw^2 rows targeting ~0.5 GB of transients
+    per_row = NE * 4 * 12
+    g = max(1, min(nmw, int(500e6 / (nmw**2 * per_row)) or 1))
+    B = g * nmw**2
+
+    gy = jnp.asarray(s_yaw)
+    gp = jnp.asarray(s_pitch)
+    gr = jnp.asarray(s_roll)
+
+    @_partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def fill(lo_y, fr_y, lo_p, fr_p, lo_r, fr_r, r0, w1c, w2c, w3c):
+        q1, q2, q3, q4 = (q[None, :] for q in q_lane)
+        w1 = w1c[:, None]
+        w2 = w2c[:, None]
+        w3 = w3c[:, None]
+        q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
+        q2n = q2 + h * 0.5 * (-w3 * q1 + w1 * q3 + w2 * q4)
+        q3n = q3 + h * 0.5 * (w2 * q1 - w1 * q2 + w3 * q4)
+        q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
+        norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
+        q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
+        yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
+                            q4n**2 + q3n**2 - q2n**2 - q1n**2)
+        pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n),
+                                      -1.0, 1.0))
+        roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
+                             q4n**2 - q3n**2 - q2n**2 + q1n**2)
+        out = []
+        for tgt_lo, tgt_fr, axis, qn in ((lo_y, fr_y, gy, yaw_n),
+                                         (lo_p, fr_p, gp, pitch_n),
+                                         (lo_r, fr_r, gr, roll_n)):
+            lo, fr = axis_locate(axis, qn)
+            if edge == "clamp":
+                fr = jnp.clip(fr, 0.0, 1.0)
+            out.append(jax.lax.dynamic_update_slice(
+                tgt_lo, lo.astype(jnp.int32), (r0, 0)))
+            out.append(jax.lax.dynamic_update_slice(tgt_fr, fr, (r0, 0)))
+        return tuple(out)
+
+    bufs = []
+    for _ in range(3):
+        bufs.append(jnp.zeros((NW, NE), jnp.int32))
+        bufs.append(jnp.zeros((NW, NE), jnp.float32))
+    r0s = list(range(0, NW - B + 1, B))
+    if r0s[-1] + B < NW:
+        r0s.append(NW - B)               # overlapping idempotent tail block
+    for r0 in r0s:
+        sl = slice(r0, r0 + B)
+        bufs = list(fill(*bufs, jnp.asarray(r0, jnp.int32),
+                         jnp.asarray(wr[0][sl]), jnp.asarray(wr[1][sl]),
+                         jnp.asarray(wr[2][sl])))
+
+    from ..ops.interp import InterpPlan
+
+    lo_w, fr_w = [], []
+    for k in range(3):
+        l, f = jax.jit(lambda q, g=grid.axes[k]: axis_locate(g, q))(w_next[k])
+        if edge == "clamp":
+            f = jnp.clip(f, 0.0, 1.0)
+        lo_w.append(l)
+        fr_w.append(f)
+    plan = InterpPlan(
+        lo=tuple(lo_w) + tuple(b[:, :, None] for b in bufs[0::2]),
+        frac=tuple(fr_w) + tuple(b[:, :, None] for b in bufs[1::2]),
+        grid_shape=tuple(grid.shape),
+    )
+    return plan, cost_flat
+
+
 def solve_full(
     cfg: AttitudeConfig,
     *,
@@ -465,10 +619,14 @@ def solve_full(
                                       weight_mode=weight_mode)
     elif impl == "pallas":
         # the 6-D fused kernel (ops/pallas_backup6.py): the only path that
-        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip
+        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip.
+        # Flat plans are dropped right after the build (PlanShape below),
+        # so their arrays are donated into the kernel's padded copies —
+        # halving peak HBM during construction (the envelope wall)
         from ..ops.pallas_backup6 import build_pallas_backup_6d
 
-        backup = build_pallas_backup_6d(plan, cost)
+        backup = build_pallas_backup_6d(plan, cost,
+                                        donate_plan=plan_is_flat(plan))
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

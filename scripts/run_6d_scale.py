@@ -42,10 +42,16 @@ def main():
     grid, plan, cost = attitude.build_full(cfg)
     t_plan = time.perf_counter() - t0
     t0 = time.perf_counter()
-    bk = build_pallas_backup_6d(plan, cost)
+    bk = build_pallas_backup_6d(plan, cost,
+                                donate_plan=len(plan.query_shape) == 3)
     t_kernel = time.perf_counter() - t0
     print(f"plan build {t_plan:.1f}s  kernel build {t_kernel:.1f}s "
           f"(table {bk.NWp}x{bk.NEp}, hbm={bk.table_hbm})", flush=True)
+    # the engine reads the plan only for shapes; dropping the real plan
+    # frees its ~24 B/cell of HBM before the solve (as solve_full does)
+    from ocdp_tpu.ops.interp import PlanShape
+
+    plan, cost = PlanShape.of(plan), None
 
     fn = jax.jit(lambda p_, c_, b: value_iteration_finite(
         p_, c_, sweeps, store_policies=False, backup=b))

@@ -180,3 +180,43 @@ def test_lane_separability_detection(small_problem):
     problem = pos_att.build_channel(cfg, "x")
     rb = pos_att.build_channel_rowlane_backup(cfg, problem)
     assert rb.bk.lane_separable  # the wrapped permuted kernel
+
+
+def test_chunked_flat_build_matches_oneshot():
+    """The row-block chunked flat builder (envelope scales; the one-shot
+    jit's transients OOM'd 167M cells) produces identical cell indices and
+    ~1-ulp fracs vs the one-shot flat build."""
+    cfg = attitude.AttitudeConfig(n_mesh_w=6, n_mesh_q=5)
+    _, p1, c1 = attitude.build_full(cfg, flat=True, chunked=False)
+    _, p2, c2 = attitude.build_full(cfg, flat=True, chunked=True)
+    for k in range(6):
+        np.testing.assert_array_equal(np.asarray(p1.lo[k]),
+                                      np.asarray(p2.lo[k]))
+        np.testing.assert_allclose(np.asarray(p1.frac[k]),
+                                   np.asarray(p2.frac[k]),
+                                   rtol=0, atol=2e-6)
+    for a, b in zip(c1, c2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_build_solve_matches(small_problem):
+    """End-to-end: a solve over the chunked-built plan equals the one-shot
+    flat build's solve (same kernel path)."""
+    cfg, _, _, _ = small_problem
+    import ocdp_tpu.models.attitude as att
+
+    orig = att.build_full
+    sols = []
+    for chunked in (False, True):
+        import unittest.mock as mock
+
+        with mock.patch.object(
+                att, "build_full",
+                lambda c, **kw: orig(c, flat=True, chunked=chunked)):
+            sols.append(att.solve_full(cfg, num_sweeps=4, impl="pallas"))
+    np.testing.assert_allclose(np.asarray(sols[0].result.values),
+                               np.asarray(sols[1].result.values),
+                               rtol=1e-5, atol=1e-4)
+    assert (np.asarray(sols[0].result.argmin)
+            == np.asarray(sols[1].result.argmin)).mean() > 0.999
