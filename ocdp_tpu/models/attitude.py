@@ -28,14 +28,15 @@ Two solvers, as in the reference:
   The 3-axis chained argmin (:400-409) is one flat first-min argmin here
   (C-order equivalence, see ops/backup.py).
 
-  Known envelope (measured, this round): the unrolled stencil solves 6-D
-  meshes up to 11^3 x 7^3 (456k cells, 1999 sweeps in ~4 min incl. compile)
-  on one v5e — comparable to the reference's historically-feasible scale
-  (.asv: 11^3 x 10^3). At ~10^6 cells the TPU worker crashes regardless of
-  state blocking (suspected executable/constant-size or Mosaic-level
-  fault through the remote-compile tunnel); CPU handles those sizes. The
-  planned fix is a dedicated Pallas backup kernel replacing the XLA-fused
-  tree (see NOTES.md).
+  Known envelope (measured, NOTES.md): the 6-D Pallas kernel
+  (ops/pallas_backup6.py, impl='auto' on TPU) solves the reference's
+  historical 11^3 x 10^3 = 1.33M-cell grid at 3.1 ms/sweep on one v5e
+  (full 5999-sweep horizon in 14.5 s) and scales to 32^3 x 19^3 = 225M
+  cells single-chip via HBM-resident tables, chunked flat plan builds,
+  and donated kernel-array construction; past that, parallel/halo6.py
+  shards the omega-row axis across a mesh. The XLA stencil path remains
+  for CPU and small grids (it crashes the TPU compile near 1e6 cells —
+  register-spill VMEM exhaustion of its unrolled tap tree).
 """
 
 from __future__ import annotations
