@@ -29,6 +29,15 @@ def _add_common(p):
                    choices=["auto", "stencil", "gather", "pallas",
                             "basegather", "sheargather", "rowlane",
                             "rowband"])
+    p.add_argument("--edge", default=None,
+                   choices=["extrapolate", "clamp"],
+                   help="out-of-grid value policy for the attitude solvers "
+                        "(default: clamp for the simplified axes, "
+                        "extrapolate for the 6-D solve; see "
+                        "ops.interp.build_plan)")
+    p.add_argument("--integrator", default="ode45",
+                   choices=["ode45", "rkf45"],
+                   help="adaptive pair for the nonlinear-plant rollouts")
 
 
 def cmd_solve(args):
@@ -47,15 +56,19 @@ def cmd_solve(args):
     elif args.problem == "attitude":
         from .models import attitude
 
+        kw = {"edge": args.edge} if args.edge else {}
         sol = attitude.solve_simplified(attitude.AttitudeConfig(),
-                                        num_sweeps=args.sweeps, impl=args.impl)
+                                        num_sweeps=args.sweeps,
+                                        impl=args.impl, **kw)
         out = {"values_sum": float(sum(np.asarray(v).sum() for v in sol.values))}
     elif args.problem == "attitude-full":
         from .models import attitude
 
         cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
                                       n_mesh_q=args.n_mesh_q)
-        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps, impl=args.impl)
+        kw = {"edge": args.edge} if args.edge else {}
+        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps,
+                                  impl=args.impl, **kw)
         out = {"values_sum": float(np.asarray(sol.result.values).sum())}
     else:
         from .models import pos_att
@@ -100,7 +113,8 @@ def cmd_rollout(args):
         sol = attitude.solve_simplified(attitude.AttitudeConfig(),
                                         num_sweeps=args.sweeps,
                                         impl=args.impl)
-        X, U = attitude.rollout_simplified_real_dynamics(sol)
+        X, U = attitude.rollout_simplified_real_dynamics(
+            sol, integrator=args.integrator)
         theta = 2.0 * np.arcsin(np.clip(np.asarray(X)[-1, 3:6], -1, 1))
         out = {"angles_final_deg": (theta * 180 / np.pi).tolist(),
                "w_final": np.asarray(X)[-1, :3].tolist()}
@@ -117,7 +131,8 @@ def cmd_rollout(args):
         from .models import pos_att
 
         sol = pos_att.solve(pos_att.PosAttConfig(), include_failure=False)
-        T, X, F_th, FM = pos_att.get_optimal_path(sol)
+        T, X, F_th, FM = pos_att.get_optimal_path(
+            sol, integrator=args.integrator)
         out = {"x_final": np.asarray(X)[-1, :3].tolist()}
         if args.plot:
             from . import viz
