@@ -35,9 +35,7 @@ def _add_common(p):
                         "(default: clamp for the simplified axes, "
                         "extrapolate for the 6-D solve; see "
                         "ops.interp.build_plan)")
-    p.add_argument("--integrator", default="ode45",
-                   choices=["ode45", "rkf45"],
-                   help="adaptive pair for the nonlinear-plant rollouts")
+
 
 
 def cmd_solve(args):
@@ -110,9 +108,10 @@ def cmd_rollout(args):
         # get_optimal_path_simplified_testode45, :835-925)
         from .models import attitude
 
+        kw = {"edge": args.edge} if args.edge else {}
         sol = attitude.solve_simplified(attitude.AttitudeConfig(),
                                         num_sweeps=args.sweeps,
-                                        impl=args.impl)
+                                        impl=args.impl, **kw)
         X, U = attitude.rollout_simplified_real_dynamics(
             sol, integrator=args.integrator)
         theta = 2.0 * np.arcsin(np.clip(np.asarray(X)[-1, 3:6], -1, 1))
@@ -123,7 +122,8 @@ def cmd_rollout(args):
 
         cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
                                       n_mesh_q=args.n_mesh_q)
-        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps)
+        kw = {"edge": args.edge} if args.edge else {}
+        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps, **kw)
         X, U, ang = attitude.rollout_full(sol)
         out = {"angles_final_deg": (np.abs(np.asarray(ang)[-100:]).mean(axis=0)
                                     * 180 / np.pi).tolist()}
@@ -158,6 +158,10 @@ def main(argv=None):
 
     pr = sub.add_parser("rollout", help="solve + closed-loop rollout")
     _add_common(pr)
+    pr.add_argument("--integrator", default="ode45",
+                    choices=["ode45", "rkf45"],
+                    help="adaptive pair for the nonlinear-plant rollouts "
+                         "(attitude / pos-att)")
     pr.add_argument("--plot", default=None, help="directory for plots")
     pr.add_argument("--n-mesh-w", type=int, default=11, dest="n_mesh_w")
     pr.add_argument("--n-mesh-q", type=int, default=7, dest="n_mesh_q")

@@ -32,8 +32,8 @@ Two solvers, as in the reference:
   (ops/pallas_backup6.py, impl='auto' on TPU) solves the reference's
   historical 11^3 x 10^3 = 1.33M-cell grid at 3.1 ms/sweep on one v5e
   (full 5999-sweep horizon in 14.5 s) and scales to 32^3 x 19^3 = 225M
-  cells single-chip via HBM-resident tables, chunked flat plan builds,
-  and donated kernel-array construction; past that, parallel/halo6.py
+  cells single-chip via HBM-resident tables and chunked flat plan
+  builds; past that, parallel/halo6.py
   shards the omega-row axis across a mesh. The XLA stencil path remains
   for CPU and small grids (it crashes the TPU compile near 1e6 cells —
   register-spill VMEM exhaustion of its unrolled tap tree).
@@ -291,7 +291,8 @@ _CHUNKED_BUILD_MIN_CELLS = 60_000_000
 
 
 def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
-               edge: str = "extrapolate", chunked: Optional[bool] = None):
+               edge: str = "extrapolate", chunked: Optional[bool] = None,
+               block_rows: Optional[int] = None):
     """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
 
     ``edge``: out-of-grid value policy — 'extrapolate' (strict reference
@@ -328,7 +329,8 @@ def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
         if not flat:
             raise ValueError("chunked build requires the flat layout")
         plan, cost_terms = _plan_and_cost_flat_chunked(
-            cfg, grid, s_w, s_yaw, s_pitch, s_roll, edge=edge)
+            cfg, grid, s_w, s_yaw, s_pitch, s_roll, edge=edge,
+            block_rows=block_rows)
     elif on_device:
         # FLAT plan arrays — (NW, 1, A) / (NW, NE, 1) — stay well-tiled on
         # the chip; the 6-D broadcast shapes pay ~9.5x TPU layout padding
@@ -350,10 +352,49 @@ def plan_is_flat(plan) -> bool:
     return len(plan.query_shape) != plan.ndim + 1
 
 
-def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
-                   flat: bool = False, edge: str = "extrapolate"):
+
+def _kirk_q_from_half_angles(cy, sy, cp, sp, cr, sr):
+    """kirk-q components from Euler half-angle cos/sin (:449-467);
+    broadcast-shaped. SINGLE SOURCE for both plan builders — the chunked
+    envelope path's bit-identity with the one-shot path depends on these
+    expressions staying textually shared."""
+    q1 = sy * cp * cr - cy * sp * sr
+    q2 = cy * sp * cr + sy * cp * sr
+    q3 = cy * cp * sr - sy * sp * cr
+    q4 = jnp.sqrt(jnp.maximum(1.0 - (q1**2 + q2**2 + q3**2), 0.0))
+    return q1, q2, q3, q4
+
+
+def _omega_euler_step(cfg, w1, w2, w3, u1, u2, u3):
+    """Euler-step omega with gyroscopic cross terms (:423-425)."""
     J1, J2, J3 = cfg.inertia_diag
     h = cfg.h
+    return (w1 + h * ((J2 - J3) / J1 * w2 * w3 + u1 / J1),
+            w2 + h * ((J3 - J1) / J2 * w3 * w1 + u2 / J2),
+            w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3))
+
+
+def _quat_step_readback(cfg, q, w1, w2, w3):
+    """Euler-step kirk-q kinematics (:525-556 / :600-622), renormalize
+    (:477-483), Euler-angle readback (:485-489); broadcast-shaped."""
+    q1, q2, q3, q4 = q
+    h = cfg.h
+    q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
+    q2n = q2 + h * 0.5 * (-w3 * q1 + w1 * q3 + w2 * q4)
+    q3n = q3 + h * 0.5 * (w2 * q1 - w1 * q2 + w3 * q4)
+    q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
+    norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
+    q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
+    yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
+                        q4n**2 + q3n**2 - q2n**2 - q1n**2)
+    pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n), -1.0, 1.0))
+    roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
+                         q4n**2 - q3n**2 - q2n**2 + q1n**2)
+    return yaw_n, pitch_n, roll_n
+
+
+def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
+                   flat: bool = False, edge: str = "extrapolate"):
     nu = len(cfg.u_vector)
 
     # broadcast layout: (w1, w2, w3, yaw, pitch, roll, u1, u2, u3) -> flat A
@@ -368,28 +409,10 @@ def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
     cr, sr = bshape(np.cos(s_roll / 2), 5), bshape(np.sin(s_roll / 2), 5)
     u1, u2, u3 = (bshape(cfg.u_vector, 6 + i) for i in range(3))
 
-    # kirk-q from Euler half-angles (:449-467)
-    q1 = sy * cp * cr - cy * sp * sr
-    q2 = cy * sp * cr + sy * cp * sr
-    q3 = cy * cp * sr - sy * sp * cr
-    q4 = jnp.sqrt(jnp.maximum(1.0 - (q1**2 + q2**2 + q3**2), 0.0))
-
-    w1n = w1 + h * ((J2 - J3) / J1 * w2 * w3 + u1 / J1)
-    w2n = w2 + h * ((J3 - J1) / J2 * w3 * w1 + u2 / J2)
-    w3n = w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3)
-    # Euler-step kirk-q kinematics (:525-556 comment block / :600-622)
-    q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
-    q2n = q2 + h * 0.5 * (-w3 * q1 + w1 * q3 + w2 * q4)
-    q3n = q3 + h * 0.5 * (w2 * q1 - w1 * q2 + w3 * q4)
-    q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
-    norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
-    q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
-    # Euler-angle readback (:485-489)
-    yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
-                        q4n**2 + q3n**2 - q2n**2 - q1n**2)
-    pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n), -1.0, 1.0))
-    roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
-                         q4n**2 - q3n**2 - q2n**2 + q1n**2)
+    q1, q2, q3, q4 = _kirk_q_from_half_angles(cy, sy, cp, sp, cr, sr)
+    w1n, w2n, w3n = _omega_euler_step(cfg, w1, w2, w3, u1, u2, u3)
+    yaw_n, pitch_n, roll_n = _quat_step_readback(cfg, (q1, q2, q3, q4),
+                                                 w1, w2, w3)
 
     # stage cost (:315-342): Qw w^2 + Qq q_vec^2 + R u^2, kept FACTORIZED as
     # broadcast terms — the materialized S x A cost tensor for this problem
@@ -446,7 +469,8 @@ def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
 
 
 def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
-                                s_pitch, s_roll, edge: str = "extrapolate"):
+                                s_pitch, s_roll, edge: str = "extrapolate",
+                                block_rows: Optional[int] = None):
     """Flat plan built in ROW-BLOCK chunks (envelope scales).
 
     The one-shot flat build keeps ~12 (NW, NE) f32 transients live inside
@@ -456,15 +480,19 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
     q components, factorized cost) build in one tiny dispatch, and the six
     Euler lo/frac tables fill block-by-block with donated in-place
     ``dynamic_update_slice`` steps — peak transient = one block's worth.
-    Same arithmetic as :func:`_plan_and_cost`; the last block overlaps
-    backward (idempotent rewrite) when the block size doesn't divide NW.
+    Buffers are allocated in their final (NW, NE, 1) plan shape so no
+    expand-dims copy ever doubles them at the end. Same arithmetic as
+    :func:`_plan_and_cost` (shared helper functions); the last block
+    overlaps backward (idempotent rewrite) when ``block_rows`` (default:
+    a multiple of n_mesh_w^2 targeting ~0.5 GB of transients; exposed for
+    tests) doesn't divide NW.
     """
     from functools import partial as _partial
 
     from ..ops.interp import axis_locate
 
-    J1, J2, J3 = cfg.inertia_diag
-    h = cfg.h
+    if edge not in ("extrapolate", "clamp"):    # build_plan's validation
+        raise ValueError(f"unknown edge policy {edge!r}")
     nu = len(cfg.u_vector)
     nmw, nmq = cfg.n_mesh_w, cfg.n_mesh_q
     NW, NE, A = nmw**3, nmq**3, nu**3
@@ -477,9 +505,7 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
         u1 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, -1, 1, 1)
         u2 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, -1, 1)
         u3 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, 1, -1)
-        w1n = w1 + h * ((J2 - J3) / J1 * w2 * w3 + u1 / J1)
-        w2n = w2 + h * ((J3 - J1) / J2 * w3 * w1 + u2 / J2)
-        w3n = w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3)
+        w1n, w2n, w3n = _omega_euler_step(cfg, w1, w2, w3, u1, u2, u3)
 
         def fw(q):
             q = jnp.broadcast_to(q, (nmw,) * 3 + (nu,) * 3)
@@ -491,10 +517,8 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
         sp = jnp.sin(jnp.asarray(s_pitch) / 2).reshape(1, -1, 1)
         cr = jnp.cos(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
         sr = jnp.sin(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
-        q1 = (sy * cp * cr - cy * sp * sr).reshape(NE)
-        q2 = (cy * sp * cr + sy * cp * sr).reshape(NE)
-        q3 = (cy * cp * sr - sy * sp * cr).reshape(NE)
-        q4 = jnp.sqrt(jnp.maximum(1.0 - (q1**2 + q2**2 + q3**2), 0.0))
+        q1, q2, q3, q4 = (q.reshape(NE) for q in
+                          _kirk_q_from_half_angles(cy, sy, cp, sp, cr, sr))
 
         c_row = (cfg.Qw[0] * w1**2 + cfg.Qw[1] * w2**2
                  + cfg.Qw[2] * w3**2)
@@ -513,10 +537,12 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
           np.tile(np.repeat(sw, nmw), nmw),
           np.tile(sw, nmw * nmw))
 
-    # block size: a multiple of nmw^2 rows targeting ~0.5 GB of transients
-    per_row = NE * 4 * 12
-    g = max(1, min(nmw, int(500e6 / (nmw**2 * per_row)) or 1))
-    B = g * nmw**2
+    if block_rows is None:
+        # a multiple of nmw^2 rows targeting ~0.5 GB of transients
+        per_row = NE * 4 * 12
+        g = max(1, min(nmw, int(500e6 / (nmw**2 * per_row)) or 1))
+        block_rows = g * nmw**2
+    B = min(block_rows, NW)
 
     gy = jnp.asarray(s_yaw)
     gp = jnp.asarray(s_pitch)
@@ -524,22 +550,11 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
 
     @_partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
     def fill(lo_y, fr_y, lo_p, fr_p, lo_r, fr_r, r0, w1c, w2c, w3c):
-        q1, q2, q3, q4 = (q[None, :] for q in q_lane)
         w1 = w1c[:, None]
         w2 = w2c[:, None]
         w3 = w3c[:, None]
-        q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
-        q2n = q2 + h * 0.5 * (-w3 * q1 + w1 * q3 + w2 * q4)
-        q3n = q3 + h * 0.5 * (w2 * q1 - w1 * q2 + w3 * q4)
-        q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
-        norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
-        q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
-        yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
-                            q4n**2 + q3n**2 - q2n**2 - q1n**2)
-        pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n),
-                                      -1.0, 1.0))
-        roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
-                             q4n**2 - q3n**2 - q2n**2 + q1n**2)
+        q = tuple(qq[None, :] for qq in q_lane)
+        yaw_n, pitch_n, roll_n = _quat_step_readback(cfg, q, w1, w2, w3)
         out = []
         for tgt_lo, tgt_fr, axis, qn in ((lo_y, fr_y, gy, yaw_n),
                                          (lo_p, fr_p, gp, pitch_n),
@@ -548,14 +563,16 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
             if edge == "clamp":
                 fr = jnp.clip(fr, 0.0, 1.0)
             out.append(jax.lax.dynamic_update_slice(
-                tgt_lo, lo.astype(jnp.int32), (r0, 0)))
-            out.append(jax.lax.dynamic_update_slice(tgt_fr, fr, (r0, 0)))
+                tgt_lo, lo.astype(jnp.int32)[:, :, None], (r0, 0, 0)))
+            out.append(jax.lax.dynamic_update_slice(
+                tgt_fr, fr[:, :, None], (r0, 0, 0)))
         return tuple(out)
 
+    # allocated in the FINAL plan shape — no expand-dims copy at the end
     bufs = []
     for _ in range(3):
-        bufs.append(jnp.zeros((NW, NE), jnp.int32))
-        bufs.append(jnp.zeros((NW, NE), jnp.float32))
+        bufs.append(jnp.zeros((NW, NE, 1), jnp.int32))
+        bufs.append(jnp.zeros((NW, NE, 1), jnp.float32))
     r0s = list(range(0, NW - B + 1, B))
     if r0s[-1] + B < NW:
         r0s.append(NW - B)               # overlapping idempotent tail block
@@ -575,8 +592,8 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
         lo_w.append(l)
         fr_w.append(f)
     plan = InterpPlan(
-        lo=tuple(lo_w) + tuple(b[:, :, None] for b in bufs[0::2]),
-        frac=tuple(fr_w) + tuple(b[:, :, None] for b in bufs[1::2]),
+        lo=tuple(lo_w) + tuple(bufs[0::2]),
+        frac=tuple(fr_w) + tuple(bufs[1::2]),
         grid_shape=tuple(grid.shape),
     )
     return plan, cost_flat
@@ -620,14 +637,10 @@ def solve_full(
                                       weight_mode=weight_mode)
     elif impl == "pallas":
         # the 6-D fused kernel (ops/pallas_backup6.py): the only path that
-        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip.
-        # Flat plans are dropped right after the build (PlanShape below),
-        # so their arrays are donated into the kernel's padded copies —
-        # halving peak HBM during construction (the envelope wall)
+        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip
         from ..ops.pallas_backup6 import build_pallas_backup_6d
 
-        backup = build_pallas_backup_6d(plan, cost,
-                                        donate_plan=plan_is_flat(plan))
+        backup = build_pallas_backup_6d(plan, cost)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

@@ -184,18 +184,20 @@ def _lane_live_device(lane_lo, lane_fr, lane_iota):
 
 
 def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
-                        NW, NE, NWp, NEp, donate=False):
+                        NW, NE, NWp, NEp):
     """Device-side twin of the host ``lane_full`` fill: padded (NWp, NEp)
     off/frac arrays built in one jitted dispatch, same pad semantics
     (lane pads duplicate lane 0, row pads duplicate the edge row).
     ``full_shape`` is the pre-flatten broadcast target — the grid's state
     shape for full plans, ``(NW, NE)`` for flat ones.
 
-    ``donate=True`` donates the plan's lane arrays into the dispatch so the
-    backend can recycle their HBM while building the padded copies —
-    without it the plan (~24 B/cell) and the kernel arrays (~24 B/cell)
-    coexist at peak, which is the envelope wall past ~225M cells. The
-    caller's plan arrays are INVALID afterwards (use PlanShape)."""
+    Note: donating the plan arrays here CANNOT help peak HBM — XLA
+    input-output aliasing requires exactly matching shapes and the padded
+    (NWp, NEp) outputs never match the (NW, NE, 1) inputs (tried; the
+    donation is discarded with a warning). The plan (~24 B/cell) and the
+    kernel arrays (~24 B/cell) therefore coexist during this build — the
+    current envelope wall past ~225M cells; fixing it needs per-axis
+    builds with explicit .delete() of consumed plan arrays."""
 
     def pad2(a):
         if NEp > NE:
@@ -216,8 +218,7 @@ def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
             frs_out.append(pad2(fr2))
         return tuple(offs_out), tuple(frs_out)
 
-    fn = jax.jit(build, donate_argnums=(0, 1) if donate else ())
-    return fn(tuple(lane_lo), tuple(lane_fr))
+    return jax.jit(build)(tuple(lane_lo), tuple(lane_fr))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -233,8 +234,7 @@ class PallasBackup6D:
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
                  row_tile: int | None = None, interpret: bool | None = None,
                  max_flat_taps: int = 40, row_pad_to: int | None = None,
-                 row_delta_group: int = 2, table_hbm: bool | None = None,
-                 donate_plan: bool = False):
+                 row_delta_group: int = 2, table_hbm: bool | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
         # FLAT plans carry their per-axis lo/frac in (rows, lanes, actions)
@@ -447,8 +447,7 @@ class PallasBackup6D:
             self.e_off_j, self.e_frac_j = _lane_arrays_device(
                 lane_lo, lane_fr, lane_iota,
                 (self.NW, self.NE) if self.flat else state_shape,
-                self.NW, self.NE, self.NWp, self.NEp,
-                donate=donate_plan)
+                self.NW, self.NE, self.NWp, self.NEp)
         else:
             self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
                                  for o in e_off)

@@ -182,13 +182,18 @@ def test_lane_separability_detection(small_problem):
     assert rb.bk.lane_separable  # the wrapped permuted kernel
 
 
-def test_chunked_flat_build_matches_oneshot():
+@pytest.mark.parametrize("block_rows", [None, 80])
+def test_chunked_flat_build_matches_oneshot(block_rows):
     """The row-block chunked flat builder (envelope scales; the one-shot
     jit's transients OOM'd 167M cells) produces identical cell indices and
-    ~1-ulp fracs vs the one-shot flat build."""
+    ~1-ulp fracs vs the one-shot flat build. block_rows=80 forces the
+    multi-block loop INCLUDING the overlapping non-dividing tail block
+    (216 rows -> blocks at 0, 80, 136) — the code paths the feature exists
+    for, which the auto block size only exercises past ~10M cells."""
     cfg = attitude.AttitudeConfig(n_mesh_w=6, n_mesh_q=5)
     _, p1, c1 = attitude.build_full(cfg, flat=True, chunked=False)
-    _, p2, c2 = attitude.build_full(cfg, flat=True, chunked=True)
+    _, p2, c2 = attitude.build_full(cfg, flat=True, chunked=True,
+                                    block_rows=block_rows)
     for k in range(6):
         np.testing.assert_array_equal(np.asarray(p1.lo[k]),
                                       np.asarray(p2.lo[k]))
