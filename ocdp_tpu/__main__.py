@@ -159,7 +159,7 @@ def main(argv=None):
     pr = sub.add_parser("rollout", help="solve + closed-loop rollout")
     _add_common(pr)
     pr.add_argument("--integrator", default="ode45",
-                    choices=["ode45", "rkf45"],
+                    choices=["ode45", "rkf45", "rk4"],
                     help="adaptive pair for the nonlinear-plant rollouts "
                          "(attitude / pos-att)")
     pr.add_argument("--plot", default=None, help="directory for plots")

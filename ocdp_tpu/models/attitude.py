@@ -779,7 +779,8 @@ def rollout_simplified_real_dynamics(
     looked up at (omega_i, 2*asin(kirk q_i)), plant = full nonlinear rigid
     body with the complete inertia matrix, integrated per stage with
     ``integrator``: 'ode45' (default; the reference uses MATLAB ode45 here,
-    Solver_attitude.m:851,885) or 'rkf45' (Fehlberg). ``ode_tol=None``
+    Solver_attitude.m:851,885), 'rkf45' (Fehlberg), or 'rk4' (one fixed
+    step per stage — the fast serving mode). ``ode_tol=None``
     keeps each pair's reference defaults; an explicit value sets rkf45's
     tol, or ode45's RelTol with AbsTol at MATLAB's 1e-3 ratio."""
     from ..utils.integrators import integrator_kwargs

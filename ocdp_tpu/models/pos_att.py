@@ -541,12 +541,14 @@ def get_optimal_path(
     """Closed-loop 13-state rollout (:452-730) as one on-device scan.
 
     ``integrator``: 'ode45' (default; Dormand-Prince — the reference
-    integrates this plant with ode45, Solver_pos_att.m:504) or 'rkf45'
+    integrates this plant with ode45, Solver_pos_att.m:504), 'rkf45'
     (Curtis/Fehlberg pair; trajectories agree to integration tolerance,
-    tests/test_pos_att.py). ``ode_tol=None`` keeps each pair's reference
-    defaults (ode45: MATLAB RelTol=1e-3/AbsTol=1e-6; rkf45: the Curtis
-    1e-8); an explicit value sets rkf45's tol, or ode45's RelTol with
-    AbsTol at MATLAB's default 1e-3 ratio.
+    tests/test_pos_att.py), or 'rk4' (ONE fixed 4th-order step per 5 ms
+    stage — no adaptive while_loops, ~10x faster replanning; the serving
+    mode). ``ode_tol=None`` keeps each adaptive pair's reference defaults
+    (ode45: MATLAB RelTol=1e-3/AbsTol=1e-6; rkf45: the Curtis 1e-8); an
+    explicit value sets rkf45's tol, or ode45's RelTol with AbsTol at
+    MATLAB's default 1e-3 ratio.
 
     Returns (T, X, F_th, FM): times (N,), states (N, 13), thruster forces
     (N-1, 12), and the force/moment log (N-1, 6) = [a_rsw (3), U_M (3)].

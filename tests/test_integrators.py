@@ -10,6 +10,7 @@ to integration tolerance.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ocdp_tpu.utils.integrators import (
     adaptive_integrator,
@@ -93,3 +94,27 @@ def test_rk4_step_order():
     e1 = abs(float(rk4_step(f, 0.0, jnp.asarray(1.0), 0.8)) - np.exp(0.8))
     e2 = abs(float(rk4_step(f, 0.0, jnp.asarray(1.0), 0.4)) - np.exp(0.4))
     assert e1 / e2 > 16.0
+
+
+def test_rk4_mode_matches_ode45_on_smooth_plant():
+    """The fixed-step serving mode: one RK4 step per 5 ms stage tracks the
+    adaptive ode45 solution to ~per-step truncation accuracy on a smooth
+    nonlinear plant."""
+    from ocdp_tpu.utils.integrators import integrator_kwargs
+
+    f = lambda t, y: jnp.stack([y[1], -jnp.sin(y[0])])  # noqa: E731 pendulum
+    fn_rk4, kw4 = integrator_kwargs("rk4")
+    fn_dp, kwd = integrator_kwargs("ode45")
+    y4 = yd = jnp.asarray([0.3, 0.0])
+    for k in range(200):                        # 1 s at h = 5 ms
+        t0 = 0.005 * k
+        y4 = fn_rk4(f, t0, t0 + 0.005, y4, **kw4)
+        yd = fn_dp(f, t0, t0 + 0.005, yd, **kwd)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(yd), atol=5e-5)
+
+
+def test_rk4_mode_rejects_tolerance():
+    from ocdp_tpu.utils.integrators import integrator_kwargs
+
+    with pytest.raises(ValueError, match="fixed-step"):
+        integrator_kwargs("rk4", 1e-6)
