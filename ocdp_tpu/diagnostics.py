@@ -30,11 +30,15 @@ class CompareReport(NamedTuple):
         return self.equal
 
 
-def compare_solutions(a, b, *, atol: float = 0.0) -> CompareReport:
+def compare_solutions(a, b, *, atol: float = 0.0,
+                      verbose: bool = False) -> CompareReport:
     """Compare two SolveResults (or anything with .values / .argmin).
 
     ``atol=0`` demands bitwise equality like the reference's ``isequal``;
     a small ``atol`` gives the tolerance story BASELINE.json asks for.
+    ``verbose`` prints the reference's console verdict ("Data is equal" /
+    "Data is NOT equal", test/Dynamic_Solver.m:273-277) plus the diff
+    summary.
     """
     va, vb = np.asarray(a.values), np.asarray(b.values)
     if va.shape != vb.shape:
@@ -43,6 +47,10 @@ def compare_solutions(a, b, *, atol: float = 0.0) -> CompareReport:
     pa, pb = np.asarray(a.argmin), np.asarray(b.argmin)
     pm = float((pa != pb).mean()) if pa.size else 0.0
     equal = dv <= atol and (pm == 0.0 if atol == 0.0 else True)
+    if verbose:
+        print("Data is equal" if equal else
+              f"Data is NOT equal: max |dV| = {dv:.3e}, "
+              f"policy mismatch = {pm:.2%}")
     return CompareReport(equal, dv, pm)
 
 

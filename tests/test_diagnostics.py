@@ -107,3 +107,23 @@ def test_animate_policy_surface_writes_gif(tmp_path):
     import os
 
     assert os.path.getsize(path) > 1000
+
+
+def test_compare_solutions_verbose_prints_verdict(capsys):
+    """The reference's console verdict (test/Dynamic_Solver.m:273-277)."""
+    import numpy as np
+
+    from ocdp_tpu.diagnostics import compare_solutions
+
+    class R:
+        values = np.zeros((3, 3), np.float32)
+        argmin = np.zeros((3, 3), np.int32)
+
+    class R2:
+        values = np.ones((3, 3), np.float32)
+        argmin = np.zeros((3, 3), np.int32)
+
+    compare_solutions(R, R, verbose=True)
+    assert "Data is equal" in capsys.readouterr().out
+    compare_solutions(R, R2, verbose=True)
+    assert "NOT equal" in capsys.readouterr().out
