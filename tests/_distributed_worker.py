@@ -44,10 +44,30 @@ def main():
     mesh = make_mesh(("s",))                      # all 8 global devices
     res = value_iteration_finite_sharded(
         problem.plan, problem.stage_cost, 11, mesh)
-    # outputs are replicated (out_specs P()) -> addressable on every process
+
+    # halo-exchange engine across the SAME process boundary: the per-sweep
+    # ppermute of boundary slabs is the ring/ICI-analog collective riding
+    # DCN here. Outputs stay sharded over "s" (not fully addressable), so
+    # each process saves its OWN row shards for the host to check.
+    from ocdp_tpu.parallel import value_iteration_finite_halo
+
+    problem2 = kirk.build(kirk.KirkConfig(N=6, dx=64, du=12))
+    res_h = value_iteration_finite_halo(
+        problem2.plan, problem2.stage_cost, 5, mesh, action_chunk=12)
+    starts, vals, args = [], [], []
+    for sh in res_h.values.addressable_shards:
+        starts.append(sh.index[0].start or 0)
+        vals.append(np.asarray(sh.data))
+    for sh in res_h.argmin.addressable_shards:
+        args.append(np.asarray(sh.data))
+
+    # outputs of the all_gather engine are replicated -> addressable
     np.savez(out_path,
              values=np.asarray(res.values),
-             argmin=np.asarray(res.argmin))
+             argmin=np.asarray(res.argmin),
+             halo_starts=np.asarray(starts),
+             halo_values=np.stack(vals),
+             halo_argmin=np.stack(args))
     jax.distributed.shutdown()
 
 

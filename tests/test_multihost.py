@@ -54,9 +54,30 @@ def test_two_process_sharded_solve_matches_single_process():
 
         problem = kirk.build(kirk.KirkConfig(N=12, dx=16, du=12))
         ref = value_iteration_finite(problem.plan, problem.stage_cost, 11)
+        # halo reference: the single-chip stencil engine (the halo engine's
+        # bitwise contract), same geometry the workers ran
+        from ocdp_tpu.ops.stencil import build_stencil_backup
+
+        problem2 = kirk.build(kirk.KirkConfig(N=6, dx=64, du=12))
+        sb = build_stencil_backup(problem2.plan, problem2.stage_cost,
+                                  action_chunk=12, state_blocks=8)
+        ref_h = value_iteration_finite(problem2.plan, problem2.stage_cost, 5,
+                                       backup=sb)
+        ref_hv = np.asarray(ref_h.values)
+        ref_ha = np.asarray(ref_h.argmin)
+        seen_rows = set()
         for out_path in outs:
             with np.load(out_path) as z:
                 np.testing.assert_array_equal(z["values"],
                                               np.asarray(ref.values))
                 np.testing.assert_array_equal(z["argmin"],
                                               np.asarray(ref.argmin))
+                # each process's local halo shards match the single-chip
+                # reference rows bitwise
+                rows = z["halo_values"].shape[1]
+                for s, v, a in zip(z["halo_starts"], z["halo_values"],
+                                   z["halo_argmin"]):
+                    np.testing.assert_array_equal(v, ref_hv[s:s + rows])
+                    np.testing.assert_array_equal(a, ref_ha[s:s + rows])
+                    seen_rows.update(range(s, s + rows))
+        assert seen_rows == set(range(64))   # both processes covered all rows
