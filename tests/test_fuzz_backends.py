@@ -47,6 +47,9 @@ def _random_axis_problem(rng):
     return plan, cost
 
 
+_ROWBAND_ADMITTED = {}    # seed -> bool, filled by the agreement tests
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_random_2d_geometries_agree(seed):
     rng = np.random.default_rng(seed)
@@ -66,7 +69,10 @@ def test_random_2d_geometries_agree(seed):
     try:
         rb = build_rowband_backup(plan, cost)
     except RowBandStructureError:
-        return   # coarse-grid f32 boundary wobble: legitimately rejected
+        # coarse-grid f32 boundary wobble: legitimately rejected
+        _ROWBAND_ADMITTED[seed] = False
+        return
+    _ROWBAND_ADMITTED[seed] = True
     out = rb(v)
     np.testing.assert_allclose(np.asarray(out.values), rv,
                                atol=2e-5 * scale)
@@ -76,14 +82,10 @@ def test_random_2d_geometries_agree(seed):
 def test_fuzz_covers_rowband_often():
     """The fuzz must actually exercise the row-band path for a healthy
     share of geometries (guards against a structure check that silently
-    starts rejecting everything)."""
-    rng = np.random.default_rng(123)
-    admitted = 0
-    for _ in range(12):
-        plan, cost = _random_axis_problem(rng)
-        try:
-            build_rowband_backup(plan, cost)
-            admitted += 1
-        except RowBandStructureError:
-            pass
+    starts rejecting everything). Reads the admissions recorded by the
+    agreement tests above (skips under -k selections that didn't run
+    them)."""
+    if len(_ROWBAND_ADMITTED) < 12:
+        pytest.skip("agreement tests did not run for all seeds")
+    admitted = sum(_ROWBAND_ADMITTED.values())
     assert admitted >= 6, f"row-band admitted only {admitted}/12 geometries"

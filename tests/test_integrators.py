@@ -105,11 +105,19 @@ def test_rk4_mode_matches_ode45_on_smooth_plant():
     f = lambda t, y: jnp.stack([y[1], -jnp.sin(y[0])])  # noqa: E731 pendulum
     fn_rk4, kw4 = integrator_kwargs("rk4")
     fn_dp, kwd = integrator_kwargs("ode45")
-    y4 = yd = jnp.asarray([0.3, 0.0])
-    for k in range(200):                        # 1 s at h = 5 ms
-        t0 = 0.005 * k
-        y4 = fn_rk4(f, t0, t0 + 0.005, y4, **kw4)
-        yd = fn_dp(f, t0, t0 + 0.005, yd, **kwd)
+
+    @jax.jit
+    def run(y0):
+        def step(carry, k):
+            y4, yd = carry
+            t0 = 0.005 * k
+            return (fn_rk4(f, t0, t0 + 0.005, y4, **kw4),
+                    fn_dp(f, t0, t0 + 0.005, yd, **kwd)), None
+
+        (y4, yd), _ = jax.lax.scan(step, (y0, y0), jnp.arange(200.0))
+        return y4, yd
+
+    y4, yd = run(jnp.asarray([0.3, 0.0]))       # 1 s at h = 5 ms
     np.testing.assert_allclose(np.asarray(y4), np.asarray(yd), atol=5e-5)
 
 
