@@ -116,15 +116,18 @@ def value_iteration_finite(
                                                   length=num_sweeps)
         argmin = policies[-1].astype(jnp.int32)
     else:
-        # keep only the last argmin; avoid stacking
+        # keep only the last argmin; avoid stacking. The carry holds it in
+        # the NARROW policy dtype (uint8 at <=256 actions) — at envelope
+        # grids the int32 double-buffered carry alone is ~2 GB of HBM.
         def sweep_last(carry, _):
             v, _ = carry
             res = backup(v)
-            return (res.values, res.argmin), probe(res.values)
+            return (res.values, res.argmin.astype(pdt)), probe(res.values)
 
         (values, argmin), probes = jax.lax.scan(
-            sweep_last, (v, jnp.zeros(state_shape, jnp.int32)), None, length=num_sweeps
+            sweep_last, (v, jnp.zeros(state_shape, pdt)), None, length=num_sweeps
         )
+        argmin = argmin.astype(jnp.int32)
         policies = None
     return SolveResult(
         values=values,

@@ -31,7 +31,7 @@ Two solvers, as in the reference:
   Known envelope (measured, NOTES.md): the 6-D Pallas kernel
   (ops/pallas_backup6.py, impl='auto' on TPU) solves the reference's
   historical 11^3 x 10^3 = 1.33M-cell grid at 3.1 ms/sweep on one v5e
-  (full 5999-sweep horizon in 14.5 s) and scales to 32^3 x 19^3 = 225M
+  (full 5999-sweep horizon in 14.5 s) and scales to 31^3 x 20^3 = 238M
   cells single-chip via HBM-resident tables and chunked flat plan
   builds; past that, parallel/halo6.py
   shards the omega-row axis across a mesh. The XLA stencil path remains
