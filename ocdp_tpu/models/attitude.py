@@ -637,10 +637,15 @@ def solve_full(
                                       weight_mode=weight_mode)
     elif impl == "pallas":
         # the 6-D fused kernel (ops/pallas_backup6.py): the only path that
-        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip
+        # solves the reference-historical 11^3 x 10^3 grid on one TPU chip.
+        # Flat plans are dropped right after the build (PlanShape below),
+        # so their Euler arrays are .delete()d axis-by-axis as the kernel's
+        # padded copies are built — peak HBM = plan + ONE axis instead of
+        # plan + all six (the former envelope wall)
         from ..ops.pallas_backup6 import build_pallas_backup_6d
 
-        backup = build_pallas_backup_6d(plan, cost)
+        backup = build_pallas_backup_6d(plan, cost,
+                                        consume_plan=plan_is_flat(plan))
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

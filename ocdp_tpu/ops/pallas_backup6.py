@@ -178,26 +178,53 @@ def _lane_live_device(lane_lo, lane_fr, lane_iota):
             enc = (enc << 2) | bv
         return jnp.bincount(enc.reshape(-1), length=nbins)
 
-    counts = jax.jit(count)(tuple(lane_lo), tuple(lane_fr))
+    n_rows = max(a.shape[0] for a in lane_lo)
+    n_elems = n_rows * max(a.shape[1] for a in lane_lo)
+    flat3 = all(a.ndim == 3 for a in (*lane_lo, *lane_fr))
+    if n_elems <= 200_000_000 or not flat3:
+        counts = jax.jit(count)(tuple(lane_lo), tuple(lane_fr))
+    else:
+        # past ~200M elements the one-shot encode crashes the TPU compile
+        # helper — accumulate the bincount over row blocks instead (the
+        # last block overlaps backward; double-counting cannot change
+        # which bins are NONZERO, the only thing decoded)
+        B = max(1, 100_000_000 // max(a.shape[1] for a in lane_lo))
+
+        def count_block(los, frs, r0):
+            sl = tuple(jax.lax.dynamic_slice_in_dim(a, r0, B, 0)
+                       for a in los)
+            sf = tuple(jax.lax.dynamic_slice_in_dim(a, r0, B, 0)
+                       for a in frs)
+            return count(sl, sf)
+
+        fn = jax.jit(count_block)
+        r0s = list(range(0, n_rows - B + 1, B))
+        if r0s[-1] + B < n_rows:
+            r0s.append(n_rows - B)
+        counts = None
+        for r0 in r0s:
+            c = fn(tuple(lane_lo), tuple(lane_fr), jnp.asarray(r0, jnp.int32))
+            counts = c if counts is None else counts + c
     vals = np.nonzero(np.asarray(counts))[0].tolist()
     return _decode_live(vals, base, span, k)
 
 
 def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
-                        NW, NE, NWp, NEp):
+                        NW, NE, NWp, NEp, consume=False):
     """Device-side twin of the host ``lane_full`` fill: padded (NWp, NEp)
-    off/frac arrays built in one jitted dispatch, same pad semantics
+    off/frac arrays built per AXIS in jitted dispatches, same pad semantics
     (lane pads duplicate lane 0, row pads duplicate the edge row).
     ``full_shape`` is the pre-flatten broadcast target — the grid's state
     shape for full plans, ``(NW, NE)`` for flat ones.
 
-    Note: donating the plan arrays here CANNOT help peak HBM — XLA
-    input-output aliasing requires exactly matching shapes and the padded
-    (NWp, NEp) outputs never match the (NW, NE, 1) inputs (tried; the
-    donation is discarded with a warning). The plan (~24 B/cell) and the
-    kernel arrays (~24 B/cell) therefore coexist during this build — the
-    current envelope wall past ~225M cells; fixing it needs per-axis
-    builds with explicit .delete() of consumed plan arrays."""
+    ``consume=True`` explicitly ``.delete()``s each plan axis's lo/frac
+    buffers right after its padded copies are built, so peak HBM is the
+    plan + ONE axis's copies instead of plan + ALL copies — the former
+    envelope wall. (Donation cannot do this: XLA input-output aliasing
+    requires exactly matching shapes and the padded outputs never match —
+    tried, discarded with a warning.) The caller's plan arrays are INVALID
+    afterwards — opt in only when the plan is about to be dropped
+    (solve_full's flat path swaps in a PlanShape immediately)."""
 
     def pad2(a):
         if NEp > NE:
@@ -208,17 +235,24 @@ def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
                 [a, jnp.broadcast_to(a[-1:], (NWp - NW, NEp))], 0)
         return a
 
-    def build(los, frs):
-        offs_out, frs_out = [], []
-        for off, fr in zip(_lane_offs_j(los, lane_iota), frs):
-            off2 = jnp.broadcast_to(off, full_shape).reshape(NW, NE)
-            fr2 = jnp.broadcast_to(fr.astype(jnp.float32)[..., 0],
-                                   full_shape).reshape(NW, NE)
-            offs_out.append(pad2(off2))
-            frs_out.append(pad2(fr2))
-        return tuple(offs_out), tuple(frs_out)
+    def build_one(lo, fr, iota):
+        off = lo.astype(jnp.int32)[..., 0] - iota
+        off2 = jnp.broadcast_to(off, full_shape).reshape(NW, NE)
+        fr2 = jnp.broadcast_to(fr.astype(jnp.float32)[..., 0],
+                               full_shape).reshape(NW, NE)
+        return pad2(off2), pad2(fr2)
 
-    return jax.jit(build)(tuple(lane_lo), tuple(lane_fr))
+    fn = jax.jit(build_one)
+    offs_out, frs_out = [], []
+    for lo, fr, iota in zip(lane_lo, lane_fr, lane_iota):
+        o, f = fn(lo, fr, iota)
+        if consume:
+            jax.block_until_ready((o, f))
+            lo.delete()
+            fr.delete()
+        offs_out.append(o)
+        frs_out.append(f)
+    return tuple(offs_out), tuple(frs_out)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -234,7 +268,8 @@ class PallasBackup6D:
     def __init__(self, plan: InterpPlan, cost_terms, *, row_axes: int = 3,
                  row_tile: int | None = None, interpret: bool | None = None,
                  max_flat_taps: int = 40, row_pad_to: int | None = None,
-                 row_delta_group: int = 2, table_hbm: bool | None = None):
+                 row_delta_group: int = 2, table_hbm: bool | None = None,
+                 consume_plan: bool = False):
         d = plan.ndim
         q_shape = plan.query_shape
         # FLAT plans carry their per-axis lo/frac in (rows, lanes, actions)
@@ -447,7 +482,8 @@ class PallasBackup6D:
             self.e_off_j, self.e_frac_j = _lane_arrays_device(
                 lane_lo, lane_fr, lane_iota,
                 (self.NW, self.NE) if self.flat else state_shape,
-                self.NW, self.NE, self.NWp, self.NEp)
+                self.NW, self.NE, self.NWp, self.NEp,
+                consume=consume_plan)
         else:
             self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
                                  for o in e_off)
