@@ -96,6 +96,10 @@ def value_iteration_finite(
         v = jnp.asarray(init_values, dtype=jnp.float32)
     n_actions = plan.query_shape[-1]
     pdt = policy_dtype or policy_dtype_for(n_actions)
+    if policy_dtype is not None and \
+            np.iinfo(np.dtype(policy_dtype)).max < n_actions - 1:
+        raise ValueError(
+            f"policy_dtype {policy_dtype} cannot hold {n_actions} actions")
     if backup is None:
         backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
 
@@ -264,6 +268,10 @@ def value_iteration_segmented(
     state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     n_actions = plan.query_shape[-1]
     pdt = policy_dtype or policy_dtype_for(n_actions)
+    if policy_dtype is not None and \
+            np.iinfo(np.dtype(policy_dtype)).max < n_actions - 1:
+        raise ValueError(
+            f"policy_dtype {policy_dtype} cannot hold {n_actions} actions")
     if init_values is None:
         v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
     else:

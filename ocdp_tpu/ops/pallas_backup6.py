@@ -180,8 +180,12 @@ def _lane_live_device(lane_lo, lane_fr, lane_iota):
 
     n_rows = max(a.shape[0] for a in lane_lo)
     n_elems = n_rows * max(a.shape[1] for a in lane_lo)
-    flat3 = all(a.ndim == 3 for a in (*lane_lo, *lane_fr))
-    if n_elems <= 200_000_000 or not flat3:
+    # row-chunking requires every array DENSE over rows in the flat layout;
+    # broadcast (1, NE, 1) axes (row-independent lane queries) can't be
+    # row-sliced — those keep the one-shot encode
+    chunkable = all(a.ndim == 3 and a.shape[0] == n_rows
+                    for a in (*lane_lo, *lane_fr))
+    if n_elems <= 200_000_000 or not chunkable:
         counts = jax.jit(count)(tuple(lane_lo), tuple(lane_fr))
     else:
         # past ~200M elements the one-shot encode crashes the TPU compile
@@ -236,7 +240,7 @@ def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
         return a
 
     def build_one(lo, fr, iota):
-        off = lo.astype(jnp.int32)[..., 0] - iota
+        off = _lane_offs_j([lo], [iota])[0]
         off2 = jnp.broadcast_to(off, full_shape).reshape(NW, NE)
         fr2 = jnp.broadcast_to(fr.astype(jnp.float32)[..., 0],
                                full_shape).reshape(NW, NE)

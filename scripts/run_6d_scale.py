@@ -43,7 +43,7 @@ def main():
     t_plan = time.perf_counter() - t0
     t0 = time.perf_counter()
     bk = build_pallas_backup_6d(plan, cost,
-                                consume_plan=len(plan.query_shape) == 3)
+                                consume_plan=attitude.plan_is_flat(plan))
     t_kernel = time.perf_counter() - t0
     print(f"plan build {t_plan:.1f}s  kernel build {t_kernel:.1f}s "
           f"(table {bk.NWp}x{bk.NEp}, hbm={bk.table_hbm})", flush=True)

@@ -109,3 +109,20 @@ def test_engines_jit_compatible():
         np.asarray(value_iteration_finite(plan, jnp.asarray(cost), 10).values),
         rtol=1e-6,
     )
+
+
+def test_finite_rejects_too_narrow_policy_dtype():
+    """An explicit policy_dtype that cannot hold the action count must
+    raise instead of silently wrapping the returned argmin (the no-store
+    carry is held in the narrow dtype)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.models import kirk
+
+    p = kirk.build(kirk.KirkConfig(N=4, dx=8, du=300))
+    with pytest.raises(ValueError, match="cannot hold"):
+        value_iteration_finite(p.plan, p.stage_cost, 2,
+                               store_policies=False,
+                               policy_dtype=jnp.uint8)
