@@ -41,9 +41,15 @@ def _add_common(p):
 def cmd_solve(args):
     t0 = time.time()
     if args.problem == "kirk":
+        import dataclasses
+
         from .models import kirk
 
-        sol = kirk.solve(kirk.KirkConfig(), impl=args.impl)
+        # Kirk's horizon is the config's stage count N (N-1 backward
+        # sweeps, test/Dynamic_Solver.m:86): --sweeps S solves with N = S+1.
+        cfg = kirk.KirkConfig() if args.sweeps is None \
+            else dataclasses.replace(kirk.KirkConfig(), N=args.sweeps + 1)
+        sol = kirk.solve(cfg, impl=args.impl)
         out = {"values_sum": float(np.asarray(sol.result.values).sum())}
     elif args.problem == "position":
         from .models import position

@@ -182,6 +182,12 @@ class SimplifiedSolution(NamedTuple):
     axes: tuple       # per channel: (s_w, s_t)
     u_tables: tuple   # per channel: (n_mesh_w, n_mesh_t) torque table
     values: tuple
+    # The out-of-grid value policy this solve actually used. Recorded
+    # because the DEFAULT ('clamp') deliberately deviates from reference
+    # parity (MATLAB extrapolates) at edge cells while solve_full defaults
+    # to 'extrapolate' — parity comparisons against the reference should
+    # check this field instead of assuming.
+    edge: str = "clamp"
 
 
 def solve_simplified(
@@ -260,7 +266,8 @@ def solve_simplified(
         axes_out.append((s_w, s_t))
         tables.append(jnp.asarray(cfg.u_vector)[res.argmin])
         values.append(res.values)
-    return SimplifiedSolution(cfg, tuple(axes_out), tuple(tables), tuple(values))
+    return SimplifiedSolution(cfg, tuple(axes_out), tuple(tables),
+                              tuple(values), edge)
 
 
 # ----------------------------------------------------------------- full 6-D

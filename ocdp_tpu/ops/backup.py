@@ -18,6 +18,16 @@ and pos-att/Solver_pos_att.m:272). Semantics matched:
   argmin reproduces the reference's nested-index composition
   (Solver_attitude.m:290-292, prototyped in test_min_ndim.m:8-13).
 * accumulation in float32 (the reference computes in MATLAB ``single``).
+
+One DELIBERATE semantic divergence: MATLAB ``min`` IGNORES NaNs (a NaN
+entry can never win), while ``jnp.min``/``jnp.argmin`` PROPAGATE them (any
+NaN in a cell's action row poisons that cell). No reference workload
+produces NaNs — costs are polynomials of finite grids and interpolation
+weights are finite — so the two rules never disagree in practice; and
+propagation is the better failure mode for a solver (a diverging value
+table turns visibly NaN instead of being silently skipped over). If a
+custom problem can produce NaN stage costs, mask them to +inf first
+(``jnp.nan_to_num(cost, nan=jnp.inf)``) to recover the MATLAB rule.
 """
 
 from __future__ import annotations

@@ -192,7 +192,17 @@ def nearest_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
     The reference wraps its policies in 'nearest' griddedInterpolants for
     rollout (Solver_position.m:144-146; Solver_pos_att.m:851-861). Outside
     the grid the nearest edge point is used (MATLAB 'nearest' extrapolation).
-    Exact-midpoint queries snap to the lower neighbor.
+
+    Exact-midpoint tie rule — PINNED here (tests/test_interp.py): a query
+    exactly halfway between two grid points snaps to the LOWER neighbor
+    (strict ``>`` toward the upper). MATLAB does not document
+    ``griddedInterpolant('nearest')``'s midpoint side and no MATLAB is
+    available in this environment to measure it (``interp1('nearest')`` is
+    reported to round the other way); the divergence surface is one policy
+    cell at measure-zero query points that no reference rollout hits —
+    trajectories reach grid midpoints only by f32 coincidence. If exact
+    MATLAB midpoint behavior is ever measured to differ, flip the
+    comparison to ``>=`` and update the pinned test.
     """
     idx = []
     for ax, q in zip(axes, points):

@@ -153,8 +153,18 @@ def value_iteration_finite_halo(
     blocked = P(*([axis_name] + [None] * (state_ndim - 1)))
 
     def arr_spec_for(a):
+        # Every stencil input carries (B, C, ...) leading axes — dim 0 is
+        # the state-block axis, dim 1 IS the action-chunk axis by the
+        # StencilBackup layout contract (ops/stencil.py:102-111). Shard it
+        # explicitly rather than inferring from a size coincidence; a
+        # future array violating the contract fails loudly here.
         parts = [axis_name] + [None] * (a.ndim - 1)
-        if action_axis_name and a.ndim >= 2 and a.shape[1] == n_chunks:
+        if action_axis_name:
+            if a.ndim < 2 or a.shape[1] != n_chunks:
+                raise ValueError(
+                    f"stencil input with shape {a.shape} does not carry the "
+                    f"(B, C={n_chunks}, ...) chunk axis the action mesh "
+                    "shards — StencilBackup layout contract violated")
             parts[1] = action_axis_name
         return P(*parts)
 

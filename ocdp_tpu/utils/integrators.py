@@ -87,8 +87,13 @@ def rkf45_integrate(f, t0, t1, y0, *, tol=1e-8, max_steps=10_000):
         t, _, _, steps = carry
         return jnp.logical_and(t < t1, steps < max_steps)
 
-    _, y_fin, _, _ = jax.lax.while_loop(cond, body, (t0, y0, h0, jnp.asarray(0)))
-    return y_fin
+    t_fin, y_fin, _, _ = jax.lax.while_loop(cond, body,
+                                            (t0, y0, h0, jnp.asarray(0)))
+    # MATLAB's integrators error/warn when tolerances can't be met within
+    # the step budget; silently returning y(t < t1) would be a wrong
+    # trajectory with no signal. Poison truncated integrations with NaN so
+    # they are detectable downstream (rollout states turn visibly NaN).
+    return jnp.where(t_fin < t1, jnp.nan, 1.0).astype(dtype) * y_fin
 
 
 # Dormand-Prince 5(4) tableau — the pair inside MATLAB ode45, which the
@@ -181,10 +186,11 @@ def ode45_integrate(f, t0, t1, y0, *, rtol=1e-3, atol=1e-6,
         t, _, _, _, _, steps = carry
         return jnp.logical_and(t < t1, steps < max_steps)
 
-    _, y_fin, _, _, _, _ = jax.lax.while_loop(
+    t_fin, y_fin, _, _, _, _ = jax.lax.while_loop(
         cond, body,
         (t0, y0, h0, f0, jnp.asarray(False), jnp.asarray(0)))
-    return y_fin
+    # see rkf45_integrate: truncated integrations return NaN, not y(t<t1)
+    return jnp.where(t_fin < t1, jnp.nan, 1.0).astype(dtype) * y_fin
 
 
 _ADAPTIVE = {"rkf45": rkf45_integrate, "ode45": ode45_integrate}

@@ -1,20 +1,25 @@
-"""Validate + time the 6-D kernel's HBM-table mode on the real chip.
+"""HBM-table-mode experiments for the row/lane kernel (consolidated driver).
 
-Stages:
-1. small-config argmin/value parity: table_hbm=True vs table_hbm=False
-2. flagship 11^3x10^3 sweep timing in HBM mode (vs the ~5.5 ms/sweep
-   VMEM-resident number, NOTES.md)
-3. 19^3x14^3 — the config whose VMEM-resident compile crashed (82MB table)
+One parameterized script replacing the round-3 pair run_hbm6d.py /
+run_hbm6d2.py (VERDICT r3 item 10); NOTES.md holds the measured records.
+
+Stages (select with --stage, default all):
+  parity    small-config argmin/value parity: table_hbm=True vs False
+  attitude  6-D attitude sweeps at --nw/--nq (flagship 11^3x10^3 by
+            default; pass e.g. --nw 23 --nq 16 for envelope points)
+  rowlane   pos-att x-channel rowlane kernel, HBM vs VMEM table residency
+            (the measurement behind the _VMEM_TABLE_BUDGET auto threshold)
 """
+import argparse
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ocdp_tpu.engine import value_iteration_finite
-from ocdp_tpu.models import attitude
-from ocdp_tpu.ops.pallas_backup6 import PallasBackup6D
+from ocdp_tpu.engine import value_iteration_converged, value_iteration_finite
+from ocdp_tpu.models import attitude, pos_att
+from ocdp_tpu.ops.pallas_backup6 import PallasBackup6D, PermutedRowLaneBackup
 
 cpu = jax.local_devices(backend="cpu")[0]
 
@@ -24,14 +29,32 @@ def fetch(x):
 
 
 def build(nw, nq):
-    with jax.default_device(cpu):
-        cfg = attitude.AttitudeConfig(n_mesh_w=nw, n_mesh_q=nq)
-        return attitude.build_full(cfg)
+    cfg = attitude.AttitudeConfig(n_mesh_w=nw, n_mesh_q=nq)
+    return attitude.build_full(cfg)
 
 
-def run(nw, nq, sweeps, table_hbm, trials=2):
+def stage_parity():
+    grid, plan, cost = build(5, 4)
+    v = jax.random.normal(jax.random.PRNGKey(0), plan.grid_shape, jnp.float32)
+    r_v = PallasBackup6D(plan, cost, table_hbm=False)(v)
+    r_h = PallasBackup6D(plan, cost, table_hbm=True)(v)
+    ok_v = bool(jnp.array_equal(r_v.values, r_h.values))
+    ok_a = bool(jnp.array_equal(r_v.argmin, r_h.argmin))
+    print(f"parity 5^3x4^3 on-chip: values={ok_v} argmin={ok_a}", flush=True)
+    assert ok_v and ok_a
+
+
+def stage_attitude(nw, nq, sweeps, table_hbm, trials=2):
+    t0 = time.perf_counter()
+    cells = nw**3 * nq**3
+    # build_full pins small grids to host CPU and builds big ones on-device
     grid, plan, cost = build(nw, nq)
+    print(f"build_full {nw}^3x{nq}^3: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
     bk = PallasBackup6D(plan, cost, table_hbm=table_hbm)
+    print(f"kernel build: {time.perf_counter()-t0:.1f}s T={bk.row_tile} "
+          f"NEp={bk.NEp} span={bk.d_max-bk.d_min}", flush=True)
     fn = jax.jit(lambda p_, c_, b: value_iteration_finite(
         p_, c_, sweeps, store_policies=False, backup=b))
     t0 = time.perf_counter()
@@ -44,7 +67,6 @@ def run(nw, nq, sweeps, table_hbm, trials=2):
         res = fn(plan, cost, bk)
         fetch(res.values)
         best = min(best, time.perf_counter() - t0)
-    cells = int(np.prod(plan.grid_shape))
     print(f"[{nw}^3x{nq}^3 hbm={table_hbm}] cells={cells/1e6:.2f}M "
           f"compile={compile_s:.1f}s warm={best:.3f}s "
           f"({best/sweeps*1e3:.2f} ms/sweep, "
@@ -52,20 +74,61 @@ def run(nw, nq, sweeps, table_hbm, trials=2):
     return res
 
 
-print("device:", jax.devices()[0], flush=True)
+def stage_rowlane():
+    cfg = pos_att.PosAttConfig()
+    with jax.default_device(cpu):
+        problem = pos_att.build_channel(cfg, "x")
+    for hbm in (False, True):
+        ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
+        bk = PermutedRowLaneBackup(
+            problem.plan,
+            [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
+             cfg.Qv * ax[1][None, :, None, None, None] ** 2,
+             cfg.Qt * ax[2][None, None, :, None, None] ** 2,
+             cfg.Qw * ax[3][None, None, None, :, None] ** 2,
+             cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
+                                 jnp.float32)[None, None, None, None, :]],
+            perm=(1, 3, 0, 2), row_axes=2, table_hbm=hbm)
+        fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
+            p_, c_, cfg.n_stage - 1, check_every=cfg.check_every,
+            tol=cfg.tol, backup=b))
+        t0 = time.perf_counter()
+        res = fn(problem.plan, problem.stage_cost, bk)
+        fetch(res.values)
+        compile_s = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn(problem.plan, problem.stage_cost, bk)
+            fetch(res.values)
+            best = min(best, time.perf_counter() - t0)
+        sweeps = int(res.num_sweeps)
+        cells = cfg.n_mesh_x * cfg.n_mesh_v * cfg.n_mesh_t * cfg.n_mesh_w
+        print(f"[pos-att rowlane hbm={hbm}] compile={compile_s:.1f}s "
+              f"warm={best:.3f}s sweeps={sweeps} "
+              f"({cells*9*sweeps/best:.3g} evals/s)", flush=True)
 
-# 1. parity, small config on-chip
-grid, plan, cost = build(5, 4)
-v = jax.random.normal(jax.random.PRNGKey(0), plan.grid_shape, jnp.float32)
-r_v = PallasBackup6D(plan, cost, table_hbm=False)(v)
-r_h = PallasBackup6D(plan, cost, table_hbm=True)(v)
-ok_v = bool(jnp.array_equal(r_v.values, r_h.values))
-ok_a = bool(jnp.array_equal(r_v.argmin, r_h.argmin))
-print(f"parity 5^3x4^3 on-chip: values={ok_v} argmin={ok_a}", flush=True)
-assert ok_v and ok_a
 
-# 2. flagship timing in HBM mode
-run(11, 10, 50, True)
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", default="all",
+                   choices=["all", "parity", "attitude", "rowlane"])
+    p.add_argument("--nw", type=int, default=11)
+    p.add_argument("--nq", type=int, default=10)
+    p.add_argument("--sweeps", type=int, default=50)
+    p.add_argument("--vmem", action="store_true",
+                   help="force VMEM table residency (default HBM)")
+    p.add_argument("--trials", type=int, default=2)
+    args = p.parse_args()
+    print("device:", jax.devices()[0], flush=True)
+    if args.stage in ("all", "parity"):
+        stage_parity()
+    if args.stage in ("all", "attitude"):
+        stage_attitude(args.nw, args.nq, args.sweeps, not args.vmem,
+                       trials=args.trials)
+    if args.stage in ("all", "rowlane"):
+        stage_rowlane()
 
-# 3. the config that crashed VMEM-resident
-run(19, 14, 10, True, trials=1)
+
+if __name__ == "__main__":
+    main()

@@ -47,9 +47,6 @@ def _random_axis_problem(rng):
     return plan, cost
 
 
-_ROWBAND_ADMITTED = {}    # seed -> bool, filled by the agreement tests
-
-
 @pytest.mark.parametrize("seed", range(12))
 def test_random_2d_geometries_agree(seed):
     rng = np.random.default_rng(seed)
@@ -70,9 +67,7 @@ def test_random_2d_geometries_agree(seed):
         rb = build_rowband_backup(plan, cost)
     except RowBandStructureError:
         # coarse-grid f32 boundary wobble: legitimately rejected
-        _ROWBAND_ADMITTED[seed] = False
         return
-    _ROWBAND_ADMITTED[seed] = True
     out = rb(v)
     np.testing.assert_allclose(np.asarray(out.values), rv,
                                atol=2e-5 * scale)
@@ -82,10 +77,17 @@ def test_random_2d_geometries_agree(seed):
 def test_fuzz_covers_rowband_often():
     """The fuzz must actually exercise the row-band path for a healthy
     share of geometries (guards against a structure check that silently
-    starts rejecting everything). Reads the admissions recorded by the
-    agreement tests above (skips under -k selections that didn't run
-    them)."""
-    if len(_ROWBAND_ADMITTED) < 12:
-        pytest.skip("agreement tests did not run for all seeds")
-    admitted = sum(_ROWBAND_ADMITTED.values())
+    starts rejecting everything). Self-contained: rebuilds the 12 seeds'
+    row-band admissions directly (cheap host-side structure checks) rather
+    than sharing state with the agreement tests — under pytest-xdist or
+    ``-k`` selections a shared-state guard silently stops guarding."""
+    admitted = 0
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        plan, cost = _random_axis_problem(rng)
+        try:
+            build_rowband_backup(plan, cost)
+        except RowBandStructureError:
+            continue
+        admitted += 1
     assert admitted >= 6, f"row-band admitted only {admitted}/12 geometries"

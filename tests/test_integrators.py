@@ -126,3 +126,16 @@ def test_rk4_mode_rejects_tolerance():
 
     with pytest.raises(ValueError, match="fixed-step"):
         integrator_kwargs("rk4", 1e-6)
+
+
+@pytest.mark.parametrize("integ", [rkf45_integrate, ode45_integrate])
+def test_truncated_integration_returns_nan(integ):
+    """A step budget too small to reach t1 must NOT silently return
+    y(t < t1): MATLAB's integrators error/warn when tolerances can't be
+    met, so truncation is poisoned with NaN (ADVICE r3)."""
+    f = lambda t, y: -y  # noqa: E731
+    y = integ(f, 0.0, 2.0, jnp.asarray([1.0]), max_steps=2)
+    assert np.all(np.isnan(np.asarray(y)))
+    # ...and a sufficient budget stays finite
+    y = integ(f, 0.0, 2.0, jnp.asarray([1.0]))
+    assert np.all(np.isfinite(np.asarray(y)))
