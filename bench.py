@@ -244,6 +244,18 @@ def bench_pos_att_channel():
     sweeps = int(res.num_sweeps)
     cells = cfg.n_mesh_x * cfg.n_mesh_v * cfg.n_mesh_t * cfg.n_mesh_w
     evals = cells * 9 * sweeps
+
+    # Beyond-parity demonstrated early stop: the scale-free 'rel' rule
+    # (engine.convergence_stop) at 1e-3 — "Σ V stable to 0.1% per 50-sweep
+    # window" — actually fires inside the cap (the reference's absolute
+    # tol=1e-2 against ~1e6-scale checksum deltas never does; NOTES.md
+    # parity ledger). North-star "wall-clock to converge" has a literal
+    # instance here: converged=True + wall_s below.
+    fn_rel = jax.jit(lambda p_, c_, b: value_iteration_converged(
+        p_, c_, max_sweeps, check_every=cfg.check_every, tol=1e-3,
+        tol_mode="rel", backup=b))
+    dt_rel, _, res_rel = _time_jitted(fn_rel, problem.plan,
+                                      problem.stage_cost, bk)
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
@@ -251,6 +263,12 @@ def bench_pos_att_channel():
         # at reference defaults the checksum never fires inside the cap —
         # matching the reference's actual behavior (NOTES.md parity ledger)
         "converged": bool(res.converged),
+        "rel_stop": {
+            "tol_mode": "rel", "tol": 1e-3,
+            "wall_s": round(dt_rel, 4),
+            "sweeps": int(res_rel.num_sweeps),
+            "converged": bool(res_rel.converged),
+        },
         "impl": "pallas-rowlane",
         "workload": f"pos-att x channel {cells}x9, early-stop loop "
                     f"(cap {max_sweeps})",
@@ -263,6 +281,7 @@ def bench_pos_att_highres():
     receding-horizon closed-loop rollout (policies re-queried from the
     13-state every step, Solver_pos_att.m:484-506 generalized)."""
     import jax
+    import jax.numpy as jnp
 
     from ocdp_tpu.engine import value_iteration_converged
     from ocdp_tpu.models import pos_att
@@ -299,6 +318,22 @@ def bench_pos_att_highres():
     _, (T2, X2, _, _) = pos_att.receding_horizon(x0, sol=sol, t_final=10.0)
     _fetch(X2)
     rollout_warm_s = time.perf_counter() - t0
+
+    # the 'rk4' SERVING mode: one fixed 4th-order step per 5 ms stage, no
+    # adaptive while_loops — the fast replanning path (final state agrees
+    # with ode45 to integration tolerance, tests/test_pos_att.py). Cold
+    # includes its own scan compile; warm is the replanning number.
+    t0 = time.perf_counter()
+    T3, X3, _, _ = pos_att.get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+                                            t_final=10.0, integrator="rk4")
+    _fetch(X3)
+    rollout_rk4_cold_s = time.perf_counter() - t0
+    x0[0] = -0.05
+    t0 = time.perf_counter()
+    T4, X4, _, _ = pos_att.get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+                                            t_final=10.0, integrator="rk4")
+    _fetch(X4)
+    rollout_rk4_warm_s = time.perf_counter() - t0
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
@@ -308,6 +343,8 @@ def bench_pos_att_highres():
         "solve_all_channels_s": round(solve_all_s, 1),
         "receding_horizon_cold_s": round(rollout_cold_s, 2),
         "receding_horizon_warm_s": round(rollout_warm_s, 2),
+        "receding_horizon_rk4_cold_s": round(rollout_rk4_cold_s, 2),
+        "receding_horizon_rk4_warm_s": round(rollout_rk4_warm_s, 2),
         "final_x_error_m": round(x_err, 4),
         "impl": "pallas-rowlane",
         "workload": f"pos-att high-res x channel {cells}x9 converged loop "

@@ -35,7 +35,34 @@ __all__ = [
     "value_iteration_converged",
     "value_iteration_segmented",
     "policy_dtype_for",
+    "convergence_stop",
 ]
+
+
+def convergence_stop(err_f, fsum, tol: float, tol_mode: str = "abs"):
+    """The early-stop predicate evaluated at each periodic checkpoint.
+
+    * ``'abs'`` — ``|Δ Σ V| < tol``: the reference's rule verbatim
+      (pos-att/Solver_pos_att.m:280). Scale-DEPENDENT: at the reference's
+      own defaults (tol=1e-2 against checksums ~1e6) it never fires inside
+      the sweep cap — matching the reference's actual behavior, where the
+      loop always runs to the cap (NOTES.md parity ledger).
+    * ``'rel'`` — ``|Δ Σ V| < tol * max(|Σ V|, 1)``: normalized/scale-free
+      stop, BEYOND reference parity. ``tol`` then reads as "the summed
+      value function is stable to ``tol`` relative precision per check
+      window" — a physically-motivated rule that actually fires (e.g. the
+      flagship 6-D attitude family converges to 1e-6 relative in well under
+      its 5999-sweep cap; see bench.py attitude_6d_converged).
+
+    Shared by every converged engine (single-chip, replicated-sharded,
+    halo, halo6, channel-EP) so the stop decision is identical across
+    parallelism strategies. ``tol_mode`` is validated at trace time.
+    """
+    if tol_mode == "abs":
+        return jnp.abs(err_f) < tol
+    if tol_mode == "rel":
+        return jnp.abs(err_f) < tol * jnp.maximum(jnp.abs(fsum), 1.0)
+    raise ValueError(f"unknown tol_mode {tol_mode!r}; use 'abs' or 'rel'")
 
 
 class SolveResult(NamedTuple):
@@ -150,6 +177,7 @@ def value_iteration_converged(
     *,
     check_every: int = 50,
     tol: float = 1e-2,
+    tol_mode: str = "abs",
     init_values: Optional[jax.Array] = None,
     backup=None,
     on_check=None,
@@ -159,7 +187,9 @@ def value_iteration_converged(
     Mirrors pos-att/Solver_pos_att.m:268-286: iterate ``k_s`` from
     ``max_sweeps`` down to 1; whenever ``k_s % check_every == 0`` (after the
     sweep at that ``k_s``), compare ``errorF = Σ V - Σ V_prev_check`` and
-    stop when ``|errorF| < tol``. Each check also records
+    stop per :func:`convergence_stop` (``tol_mode='abs'`` is the reference
+    rule ``|errorF| < tol``; ``'rel'`` the scale-free beyond-parity
+    variant). Each check also records
     ``errorU = Σ argmin_ids - Σ argmin_ids_prev_check`` (the reference's
     second diagnostic, :275-278); both land in ``SolveResult.checks`` as
     rows ``[k_s, errorF, errorU]`` and — when ``on_check`` is given — are
@@ -190,7 +220,8 @@ def value_iteration_converged(
         usum = jnp.sum(res.argmin, dtype=jnp.float32)
         err_f = fsum - fsum_prev
         err_u = usum - usum_prev
-        converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+        converged = jnp.logical_and(
+            do_check, convergence_stop(err_f, fsum, tol, tol_mode))
 
         def record(args):
             checks, c_idx = args

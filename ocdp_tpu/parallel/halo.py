@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine import SolveResult, policy_dtype_for
+from ..engine import SolveResult, convergence_stop, policy_dtype_for
 from ..ops.interp import InterpPlan
 from ..ops.stencil import build_stencil_backup
 from .sharded import _record_check
@@ -200,6 +200,7 @@ def value_iteration_converged_halo(
     *,
     check_every: int = 50,
     tol: float = 1e-2,
+    tol_mode: str = "abs",
     axis_name: str = "s",
     action_chunk: Optional[int] = None,
     weight_mode: str = "onthefly",
@@ -258,7 +259,8 @@ def value_iteration_converged_halo(
             usum = jax.lax.psum(jnp.sum(args, dtype=jnp.float32), axis_name)
             err_f = fsum - fsum_prev
             err_u = usum - usum_prev
-            converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+            converged = jnp.logical_and(
+                do_check, convergence_stop(err_f, fsum, tol, tol_mode))
             checks, c_idx = _record_check(do_check, k_s, err_f, err_u,
                                           checks, c_idx, on_check, axis_name)
             fsum_prev = jnp.where(do_check, fsum, fsum_prev)

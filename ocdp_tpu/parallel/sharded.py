@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine import SolveResult, policy_dtype_for
+from ..engine import SolveResult, convergence_stop, policy_dtype_for
 from ..ops.interp import InterpPlan, interp_apply
 
 __all__ = [
@@ -271,6 +271,7 @@ def value_iteration_converged_sharded(
     *,
     check_every: int = 50,
     tol: float = 1e-2,
+    tol_mode: str = "abs",
     shard_axis: int = 0,
     state_axis_name: str = "s",
     action_axis_name: Optional[str] = None,
@@ -338,7 +339,8 @@ def value_iteration_converged_sharded(
                 name)
             err_f = fsum - fsum_prev
             err_u = usum - usum_prev
-            converged = jnp.logical_and(do_check, jnp.abs(err_f) < tol)
+            converged = jnp.logical_and(
+                do_check, convergence_stop(err_f, fsum, tol, tol_mode))
             checks, c_idx = _record_check(do_check, k_s, err_f, err_u,
                                           checks, c_idx, on_check, name)
             fsum_prev = jnp.where(do_check, fsum, fsum_prev)

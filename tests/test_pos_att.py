@@ -132,6 +132,27 @@ def test_rollout_integrator_parity_ode45_vs_rkf45():
     assert np.max(np.abs(X_dp - X_rk)) < 2e-3
 
 
+def test_rollout_rk4_serving_matches_ode45():
+    """The 'rk4' SERVING mode (one fixed 4th-order step per 5 ms stage, no
+    adaptive while_loops — the fast receding-horizon replanning path,
+    VERDICT r3 item 3) must make the same thruster decisions as the ode45
+    parity path and land within integration tolerance of its final state."""
+    cfg = small_cfg(n_mesh_x=12, n_mesh_v=12, n_mesh_t=8, n_mesh_w=7,
+                    T_final=10.0)
+    sol = pos_att.solve(cfg, include_failure=False)
+    _, X_dp, F_dp, _ = pos_att.get_optimal_path(sol, t_final=2.0,
+                                                integrator="ode45")
+    _, X_r4, F_r4, _ = pos_att.get_optimal_path(sol, t_final=2.0,
+                                                integrator="rk4")
+    X_dp, X_r4 = np.asarray(X_dp), np.asarray(X_r4)
+    assert np.isfinite(X_r4).all()
+    np.testing.assert_array_equal(np.asarray(F_dp), np.asarray(F_r4))
+    # final-state delta bounded by the looser pair's tolerance (MATLAB
+    # default RelTol=1e-3); one 4th-order step at h=5 ms is ~1e-10 local
+    assert np.max(np.abs(X_dp[-1] - X_r4[-1])) < 2e-3
+    assert np.max(np.abs(X_dp - X_r4)) < 2e-3
+
+
 def test_failure_mode_never_fires_thruster0():
     cfg = small_cfg(T_final=10.0)
     sol = pos_att.solve(cfg, include_failure=True)
