@@ -205,6 +205,9 @@ def value_iteration_converged(
 
     if backup is None:
         backup = lambda v: bellman_backup(v, plan, stage_cost)  # noqa: E731
+    # backups may emit argmin in a narrow dtype (uint8 at <= 256 actions —
+    # the 6-D kernel's envelope mode); the while_loop carry must match
+    adt = getattr(backup, "argmin_dtype", None) or jnp.int32
 
     n_checks = max(max_sweeps // check_every, 1)
 
@@ -239,7 +242,7 @@ def value_iteration_converged(
 
     init = (
         v,
-        jnp.zeros(state_shape, jnp.int32),
+        jnp.zeros(state_shape, adt),
         jnp.asarray(max_sweeps, jnp.int32),
         (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
         jnp.asarray(False),
@@ -250,7 +253,7 @@ def value_iteration_converged(
         cond, body, init)
     return SolveResult(
         values=values,
-        argmin=argmin,
+        argmin=argmin.astype(jnp.int32),
         policies=None,
         num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
         converged=converged,

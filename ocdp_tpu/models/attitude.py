@@ -299,7 +299,8 @@ _CHUNKED_BUILD_MIN_CELLS = 60_000_000
 
 def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
                edge: str = "extrapolate", chunked: Optional[bool] = None,
-               block_rows: Optional[int] = None):
+               block_rows: Optional[int] = None,
+               lane_mode: str = "auto"):
     """6-D grid, taylor-estimate next states, quaternion cost (:261-506).
 
     ``edge``: out-of-grid value policy — 'extrapolate' (strict reference
@@ -330,6 +331,22 @@ def build_full(cfg: AttitudeConfig, flat: Optional[bool] = None,
     on_device = big and jax.default_backend() == "tpu"
     if flat is None:
         flat = on_device
+    # lane_mode: 'plan' stores the Euler (lo, frac) arrays (bitwise path);
+    # 'recompute' stores only their generators and the 6-D kernel
+    # regenerates them per tile (24 B/cell -> ~0; values to f32
+    # transcendental tolerance). 'auto' switches to recompute at the scales
+    # where the chunked plan build used to kick in — there the stored plan
+    # is the dominant HBM term (VERDICT r3 item 1b).
+    if lane_mode not in ("auto", "plan", "recompute"):
+        raise ValueError(f"unknown lane_mode {lane_mode!r}")
+    if lane_mode == "auto":
+        lane_mode = ("recompute"
+                     if on_device and cells > _CHUNKED_BUILD_MIN_CELLS
+                     else "plan")
+    if lane_mode == "recompute":
+        plan, cost_terms = _plan_and_cost_flat_recompute(
+            cfg, grid, s_w, s_yaw, s_pitch, s_roll, edge=edge)
+        return grid, plan, cost_terms
     if chunked is None:
         chunked = on_device and flat and cells > _CHUNKED_BUILD_MIN_CELLS
     if chunked:
@@ -381,9 +398,17 @@ def _omega_euler_step(cfg, w1, w2, w3, u1, u2, u3):
             w3 + h * ((J1 - J2) / J3 * w1 * w2 + u3 / J3))
 
 
-def _quat_step_readback(cfg, q, w1, w2, w3):
+def _quat_step_readback(cfg, q, w1, w2, w3, atan2=None, asin=None):
     """Euler-step kirk-q kinematics (:525-556 / :600-622), renormalize
-    (:477-483), Euler-angle readback (:485-489); broadcast-shaped."""
+    (:477-483), Euler-angle readback (:485-489); broadcast-shaped.
+
+    ``atan2``/``asin`` default to the jnp primitives; the lane-recompute
+    kernel path substitutes the Mosaic-lowerable
+    :mod:`ocdp_tpu.ops.kernelmath` twins (same math, ~4e-7 rad)."""
+    if atan2 is None:
+        atan2 = jnp.arctan2
+    if asin is None:
+        asin = jnp.arcsin
     q1, q2, q3, q4 = q
     h = cfg.h
     q1n = q1 + h * 0.5 * (w3 * q2 - w2 * q3 + w1 * q4)
@@ -392,12 +417,34 @@ def _quat_step_readback(cfg, q, w1, w2, w3):
     q4n = q4 + h * 0.5 * (-w1 * q1 - w2 * q2 - w3 * q3)
     norm = jnp.sqrt(q1n**2 + q2n**2 + q3n**2 + q4n**2)
     q1n, q2n, q3n, q4n = q1n / norm, q2n / norm, q3n / norm, q4n / norm
-    yaw_n = jnp.arctan2(2 * (q3n * q2n + q4n * q1n),
-                        q4n**2 + q3n**2 - q2n**2 - q1n**2)
-    pitch_n = jnp.arcsin(jnp.clip(-2 * (q3n * q1n - q4n * q2n), -1.0, 1.0))
-    roll_n = jnp.arctan2(2 * (q2n * q1n + q4n * q3n),
-                         q4n**2 - q3n**2 - q2n**2 + q1n**2)
+    yaw_n = atan2(2 * (q3n * q2n + q4n * q1n),
+                  q4n**2 + q3n**2 - q2n**2 - q1n**2)
+    pitch_n = asin(jnp.clip(-2 * (q3n * q1n - q4n * q2n), -1.0, 1.0))
+    roll_n = atan2(2 * (q2n * q1n + q4n * q3n),
+                   q4n**2 - q3n**2 - q2n**2 + q1n**2)
     return yaw_n, pitch_n, roll_n
+
+
+@dataclasses.dataclass(frozen=True)
+class _AttitudeLaneFn:
+    """Lane-coordinate generator for the 6-D kernel's recompute mode.
+
+    Maps ((w1, w2, w3) row blocks, (q1..q4) lane blocks) to the three Euler
+    next-angle coordinates via the SAME quaternion step/readback as the
+    stored-plan build (:func:`_quat_step_readback`), with the trig swapped
+    for the Mosaic-lowerable kernelmath twins. Frozen dataclass so equal
+    configs compare equal (jit-cache friendly, see LaneRecompute).
+    """
+
+    h: float
+
+    def __call__(self, row_feats, lane_feats):
+        from ..ops.kernelmath import asin_f32, atan2_f32
+
+        w1, w2, w3 = row_feats
+        cfg = AttitudeConfig(h=self.h, T_final=self.h)  # only .h is read
+        return _quat_step_readback(cfg, tuple(lane_feats), w1, w2, w3,
+                                   atan2=atan2_f32, asin=asin_f32)
 
 
 def _plan_and_cost(cfg: AttitudeConfig, grid, s_w, s_yaw, s_pitch, s_roll,
@@ -606,6 +653,95 @@ def _plan_and_cost_flat_chunked(cfg: AttitudeConfig, grid, s_w, s_yaw,
     return plan, cost_flat
 
 
+def _plan_and_cost_flat_recompute(cfg: AttitudeConfig, grid, s_w, s_yaw,
+                                  s_pitch, s_roll,
+                                  edge: str = "extrapolate"):
+    """Envelope-scale plan: lane queries as a :class:`LaneRecompute` spec.
+
+    The chunked flat build still STORES 24 B/cell of Euler lo/frac — 6.3 GB
+    at 262M cells, the round-3 envelope wall (VERDICT r3 item 1b). Here the
+    lane arrays never exist: the kernel regenerates them per row tile from
+    the per-row omega values (12 B/row) and per-lane kirk-q components
+    (16 B/lane) via the same quaternion step/readback
+    (Solver_attitude.m:413-506). Plan memory drops from ~24 B/cell to
+    O(B/row + B/lane); values match the stored-plan kernel to f32
+    transcendental tolerance (~1e-5 relative; the kernelmath trig is ~4e-7
+    rad off jnp's) rather than bitwise — tests/test_pallas_backup6.py pins
+    the agreement.
+    """
+    from functools import partial as _partial
+
+    from ..ops.interp import axis_locate
+    from ..ops.pallas_backup6 import LaneRecompute, RecomputePlan
+
+    if edge not in ("extrapolate", "clamp"):
+        raise ValueError(f"unknown edge policy {edge!r}")
+    nu = len(cfg.u_vector)
+    nmw, nmq = cfg.n_mesh_w, cfg.n_mesh_q
+    NW, A = nmw**3, nu**3
+
+    @jax.jit
+    def small_parts():
+        w1 = jnp.asarray(s_w).reshape(-1, 1, 1, 1, 1, 1)
+        w2 = jnp.asarray(s_w).reshape(1, -1, 1, 1, 1, 1)
+        w3 = jnp.asarray(s_w).reshape(1, 1, -1, 1, 1, 1)
+        u1 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, -1, 1, 1)
+        u2 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, -1, 1)
+        u3 = jnp.asarray(cfg.u_vector).reshape(1, 1, 1, 1, 1, -1)
+        w1n, w2n, w3n = _omega_euler_step(cfg, w1, w2, w3, u1, u2, u3)
+
+        def fw(q):
+            q = jnp.broadcast_to(q, (nmw,) * 3 + (nu,) * 3)
+            return q.reshape(NW, 1, A)
+
+        NE = nmq**3
+        cy = jnp.cos(jnp.asarray(s_yaw) / 2).reshape(-1, 1, 1)
+        sy = jnp.sin(jnp.asarray(s_yaw) / 2).reshape(-1, 1, 1)
+        cp = jnp.cos(jnp.asarray(s_pitch) / 2).reshape(1, -1, 1)
+        sp = jnp.sin(jnp.asarray(s_pitch) / 2).reshape(1, -1, 1)
+        cr = jnp.cos(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
+        sr = jnp.sin(jnp.asarray(s_roll) / 2).reshape(1, 1, -1)
+        q1, q2, q3, q4 = (q.reshape(NE) for q in
+                          _kirk_q_from_half_angles(cy, sy, cp, sp, cr, sr))
+
+        # per-row omega features: digit decode of the flat row index
+        ridx = jnp.arange(NW, dtype=jnp.int32)
+        sw = jnp.asarray(s_w, jnp.float32)
+        w1r = sw[ridx // (nmw * nmw)]
+        w2r = sw[(ridx // nmw) % nmw]
+        w3r = sw[ridx % nmw]
+
+        c_row = (cfg.Qw[0] * w1**2 + cfg.Qw[1] * w2**2
+                 + cfg.Qw[2] * w3**2)
+        c_row = jnp.broadcast_to(c_row,
+                                 (nmw,) * 3 + (1,) * 3).reshape(NW, 1, 1)
+        c_lane = (cfg.Qq[0] * q1**2 + cfg.Qq[1] * q2**2
+                  + cfg.Qq[2] * q3**2).reshape(1, NE, 1)
+        c_act = (cfg.R[0] * u1**2 + cfg.R[1] * u2**2 + cfg.R[2] * u3**2)
+        c_act = jnp.broadcast_to(c_act, (1,) * 3 + (nu,) * 3).reshape(1, 1, A)
+        # row-axis plan: locate the omega queries (same as the other builds)
+        los, frs = [], []
+        for k, wn in enumerate((w1n, w2n, w3n)):
+            lo, fr = axis_locate(jnp.asarray(s_w), fw(wn))
+            if edge == "clamp":
+                fr = jnp.clip(fr, 0.0, 1.0)
+            los.append(lo)
+            frs.append(fr)
+        return (tuple(los), tuple(frs), (w1r, w2r, w3r), (q1, q2, q3, q4),
+                (c_row, c_lane, c_act))
+
+    los, frs, w_rows, q_lane, cost_flat = small_parts()
+    axes = (s_yaw, s_pitch, s_roll)
+    spec = LaneRecompute(
+        _AttitudeLaneFn(cfg.h), w_rows, q_lane,
+        axis_starts=[float(np.float32(a[0])) for a in axes],
+        axis_steps=[float((np.float32(a[-1]) - np.float32(a[0]))
+                          / (len(a) - 1)) for a in axes],
+        axis_sizes=[len(a) for a in axes], edge=edge)
+    plan = RecomputePlan(los, frs, spec, tuple(grid.shape), row_axes=3)
+    return plan, cost_flat
+
+
 def solve_full(
     cfg: AttitudeConfig,
     *,
@@ -615,13 +751,16 @@ def solve_full(
     state_blocks: Optional[int] = None,
     weight_mode: str = "precomputed",
     edge: str = "extrapolate",
+    lane_mode: str = "auto",
 ) -> FullSolution:
     """``action_chunk`` and ``state_blocks`` bound the live intermediates of
     the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
     sweeps crashed a v5e). Default blocking targets ~2M-element working sets
     per (block x chunk). ``impl='auto'`` = the 6-D Pallas kernel on TPU (the
-    only path that scales past ~1M cells there), the stencil elsewhere."""
-    grid, plan, cost = build_full(cfg, edge=edge)
+    only path that scales past ~1M cells there), the stencil elsewhere.
+    ``lane_mode``: see :func:`build_full` — 'auto' switches past ~60M cells
+    to in-kernel lane recompute + uint8 kernel argmin (the envelope mode)."""
+    grid, plan, cost = build_full(cfg, edge=edge, lane_mode=lane_mode)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
@@ -649,10 +788,18 @@ def solve_full(
         # so their Euler arrays are .delete()d axis-by-axis as the kernel's
         # padded copies are built — peak HBM = plan + ONE axis instead of
         # plan + all six (the former envelope wall)
+        from ..engine import policy_dtype_for
         from ..ops.pallas_backup6 import build_pallas_backup_6d
 
+        cells = int(np.prod(grid.shape))
+        # big solves: narrow in-kernel argmin (uint8 at 27 actions) — the
+        # int32 per-sweep output alone was ~1 GB at the round-3 262M-cell
+        # envelope wall; small grids keep int32 (bitwise-stable goldens)
+        adt = policy_dtype_for(int(plan.query_shape[-1])) \
+            if cells > 8_000_000 else jnp.int32
         backup = build_pallas_backup_6d(plan, cost,
-                                        consume_plan=plan_is_flat(plan))
+                                        consume_plan=plan_is_flat(plan),
+                                        argmin_dtype=adt)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

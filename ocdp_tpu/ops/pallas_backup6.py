@@ -71,7 +71,132 @@ from jax.experimental.pallas import tpu as pltpu
 from .backup import BackupResult
 from .interp import InterpPlan
 
-__all__ = ["PallasBackup6D", "PermutedRowLaneBackup", "build_pallas_backup_6d"]
+__all__ = ["PallasBackup6D", "PermutedRowLaneBackup", "build_pallas_backup_6d",
+           "LaneRecompute", "RecomputePlan"]
+
+
+def _affine_locate(coord, start, step, n, edge):
+    """Uniform-axis locate: (lo, frac) from an affine index map.
+
+    The lane-recompute twin of :func:`ocdp_tpu.ops.interp.axis_locate`,
+    restricted to UNIFORM (linspace) axes so it needs no grid-value gather —
+    Mosaic-lowerable and therefore usable inside the kernel. Must be the
+    ONE locate both the tap-liveness pass (XLA) and the kernel (Mosaic)
+    evaluate: measured bit-identical between the two lowerings on this
+    toolchain (NOTES.md round 4). Differs from the searchsorted-based
+    ``axis_locate`` by <= 1 ulp of frac at cell boundaries (linspace values
+    are not exactly affine in f32); the liveness pass admits BOTH corners
+    of every touched cell, so a boundary lo flip costs only an
+    ~ulp-weighted tap, never a missing one.
+    """
+    t = (jnp.asarray(coord, jnp.float32) - jnp.float32(start)) \
+        * jnp.float32(1.0 / step)
+    lo = jnp.clip(jnp.floor(t), 0.0, float(n - 2))
+    fr = t - lo
+    if edge == "clamp":
+        fr = jnp.clip(fr, 0.0, 1.0)
+    return lo.astype(jnp.int32), fr
+
+
+@jax.tree_util.register_pytree_node_class
+class LaneRecompute:
+    """In-kernel lane-query recompute spec (the 24 B/cell lever).
+
+    Stored-plan mode keeps six (NW, NE) f32/int32 lane arrays — 24 B/cell,
+    the dominant HBM term at envelope scales (6.3 GB at 262M cells, the
+    round-3 wall). This spec replaces them with their GENERATORS: per-ROW
+    features (the three omega values, 12 B/row), per-LANE features (the
+    four kirk-q components, 16 B/lane), and a traceable ``fn`` mapping a
+    (rows-tile, lanes) feature block to the lane-axis query coordinates —
+    for attitude, the reference's quaternion Euler step + renormalize +
+    Euler readback (Solver_attitude.m:413-506), built on the
+    Mosaic-lowerable :mod:`ocdp_tpu.ops.kernelmath` trig. The kernel
+    evaluates ``fn`` + :func:`_affine_locate` once per row tile, shared by
+    all actions and row shifts.
+
+    ``fn`` must be a hashable-equatable callable (e.g. a frozen dataclass)
+    so backups built from equal configs hit the jit cache.
+    """
+
+    def __init__(self, fn, row_feats, lane_feats, axis_starts, axis_steps,
+                 axis_sizes, edge: str):
+        if edge not in ("extrapolate", "clamp"):
+            raise ValueError(f"unknown edge policy {edge!r}")
+        self.fn = fn
+        self.row_feats = tuple(jnp.asarray(r, jnp.float32).reshape(-1)
+                               for r in row_feats)
+        self.lane_feats = tuple(jnp.asarray(f, jnp.float32).reshape(-1)
+                                for f in lane_feats)
+        self.axis_starts = tuple(float(s) for s in axis_starts)
+        self.axis_steps = tuple(float(s) for s in axis_steps)
+        self.axis_sizes = tuple(int(n) for n in axis_sizes)
+        self.edge = edge
+
+    def coords(self, rf, lf):
+        """Lane coordinates for broadcastable row/lane feature blocks."""
+        return self.fn(rf, lf)
+
+    def locate(self, k, coord):
+        return _affine_locate(coord, self.axis_starts[k], self.axis_steps[k],
+                              self.axis_sizes[k], self.edge)
+
+    def tree_flatten(self):
+        return ((self.row_feats, self.lane_feats),
+                (self.fn, self.axis_starts, self.axis_steps,
+                 self.axis_sizes, self.edge))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.row_feats, obj.lane_feats = leaves
+        (obj.fn, obj.axis_starts, obj.axis_steps, obj.axis_sizes,
+         obj.edge) = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class RecomputePlan:
+    """Flat interpolation plan whose LANE queries live as a
+    :class:`LaneRecompute` spec instead of stored (lo, frac) arrays.
+
+    ``lo``/``frac`` carry only the ROW axes (length ``row_axes``), in the
+    flat (NW, 1, A) layout; ``spec`` generates the lane axes in-kernel.
+    Duck-types the :class:`~ocdp_tpu.ops.interp.InterpPlan` surface the
+    engines/backups read (``grid_shape``, ``query_shape``, ``ndim``).
+    """
+
+    def __init__(self, lo, frac, spec: LaneRecompute, grid_shape,
+                 row_axes: int):
+        self.lo = tuple(lo)
+        self.frac = tuple(frac)
+        self.spec = spec
+        self.grid_shape = tuple(grid_shape)
+        self.row_axes = int(row_axes)
+        if len(self.lo) != self.row_axes or len(self.frac) != self.row_axes:
+            raise ValueError("RecomputePlan carries exactly the row axes")
+        if len(spec.axis_sizes) != len(self.grid_shape) - self.row_axes:
+            raise ValueError("spec lane-axis count mismatch")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.grid_shape)
+
+    @property
+    def query_shape(self) -> tuple:
+        nw = int(np.prod(self.grid_shape[:self.row_axes]))
+        ne = int(np.prod(self.grid_shape[self.row_axes:]))
+        return (nw, ne, self.lo[0].shape[-1])
+
+    def tree_flatten(self):
+        return ((self.lo, self.frac, self.spec),
+                (self.grid_shape, self.row_axes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.lo, obj.frac, obj.spec = leaves
+        obj.grid_shape, obj.row_axes = aux
+        return obj
 
 
 def _round_up(x: int, m: int) -> int:
@@ -213,6 +338,71 @@ def _lane_live_device(lane_lo, lane_fr, lane_iota):
     return _decode_live(vals, base, span, k)
 
 
+def _lane_live_recompute(spec: "LaneRecompute", lane_strides, NW, NE):
+    """Tap liveness for lane-recompute mode: the same encode/bincount as
+    :func:`_lane_live_device`, with (lo, frac) REGENERATED per row block
+    from the spec — nothing table-sized ever exists. Both corners of every
+    touched cell are admitted (no frac-against-{0,1} pruning): the kernel
+    re-evaluates the identical fn/locate, but a Mosaic-vs-XLA ulp at an
+    exact cell boundary may flip lo by one; admitting both corners bounds
+    that to an ~ulp-weighted extra tap instead of a missing one."""
+    k = len(spec.axis_sizes)
+
+    def block_offs(r0, B):
+        rf = [jax.lax.dynamic_slice_in_dim(r, r0, B, 0)[:, None] for r in
+              (jnp.asarray(x) for x in spec.row_feats)]
+        lf = [f[None, :] for f in (jnp.asarray(x) for x in spec.lane_feats)]
+        coords = spec.coords(rf, lf)
+        offs = []
+        for ax, c in enumerate(coords):
+            lo, _ = spec.locate(ax, c)
+            iota = ((jnp.arange(NE, dtype=jnp.int32)
+                     // lane_strides[ax]) % spec.axis_sizes[ax])[None, :]
+            offs.append(lo - iota)
+        return offs
+
+    B = max(1, min(NW, 100_000_000 // max(NE, 1)))
+    r0s = list(range(0, NW, B))
+
+    @jax.jit
+    def minmax(r0):
+        o = block_offs(r0, B)
+        return (jnp.stack([x.min() for x in o]),
+                jnp.stack([x.max() for x in o]))
+
+    mins = maxs = None
+    for r0 in r0s:
+        r0 = min(r0, NW - B)
+        lo_, hi_ = minmax(jnp.asarray(r0, jnp.int32))
+        mins = lo_ if mins is None else jnp.minimum(mins, lo_)
+        maxs = hi_ if maxs is None else jnp.maximum(maxs, hi_)
+    base = [int(v) for v in np.asarray(mins)]
+    span = [int(hi) - b + 1 for hi, b in zip(np.asarray(maxs), base)]
+    bits = int(np.sum(np.ceil(np.log2(np.maximum(span, 2))))) + 2 * k
+    nbins = int(np.prod(span)) << (2 * k)
+    if bits >= 31 or nbins > (1 << 24):
+        raise ValueError(
+            f"lane tap encode needs {bits} bits / {nbins} bins — offsets "
+            "reach too far for the row/lane kernel; use the stencil backup")
+
+    @jax.jit
+    def count(r0):
+        o = block_offs(r0, B)
+        enc = None
+        for x, b, s in zip(o, base, span):
+            t = x - b
+            enc = t if enc is None else enc * s + t
+        enc = (enc << (2 * k)) | ((1 << (2 * k)) - 1)   # both corners live
+        return jnp.bincount(enc.reshape(-1), length=nbins)
+
+    counts = None
+    for r0 in r0s:
+        c = count(jnp.asarray(min(r0, NW - B), jnp.int32))
+        counts = c if counts is None else counts + c
+    vals = np.nonzero(np.asarray(counts))[0].tolist()
+    return _decode_live(vals, base, span, k)
+
+
 def _lane_arrays_device(lane_lo, lane_fr, lane_iota, full_shape,
                         NW, NE, NWp, NEp, consume=False):
     """Device-side twin of the host ``lane_full`` fill: padded (NWp, NEp)
@@ -273,9 +463,24 @@ class PallasBackup6D:
                  row_tile: int | None = None, interpret: bool | None = None,
                  max_flat_taps: int = 40, row_pad_to: int | None = None,
                  row_delta_group: int = 2, table_hbm: bool | None = None,
-                 consume_plan: bool = False):
+                 consume_plan: bool = False, argmin_dtype=jnp.int32,
+                 device_build: bool | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
+        # in-kernel-recomputed lane queries (RecomputePlan): no lane plan
+        # arrays exist; the kernel regenerates (lo, frac) per row tile from
+        # the spec's row/lane features (see LaneRecompute)
+        lane_rec = plan.spec if isinstance(plan, RecomputePlan) else None
+        if lane_rec is not None and plan.row_axes != row_axes:
+            raise ValueError(
+                f"RecomputePlan was built for row_axes={plan.row_axes}, "
+                f"got row_axes={row_axes}")
+        self.argmin_dtype = np.dtype(argmin_dtype)
+        if np.issubdtype(self.argmin_dtype, np.integer) and \
+                np.iinfo(self.argmin_dtype).max < q_shape[-1] - 1:
+            raise ValueError(
+                f"argmin_dtype {self.argmin_dtype} cannot index "
+                f"{q_shape[-1]} actions")
         # FLAT plans carry their per-axis lo/frac in (rows, lanes, actions)
         # layout — (NW, 1, A) for row axes, (NW, NE, 1) for lane axes — so
         # no array ever exists in the d-dimensional broadcast shape. This is
@@ -319,8 +524,13 @@ class PallasBackup6D:
         # transfer through the TPU tunnel (NOTES.md). Plan arrays are passed
         # as jit ARGUMENTS, never closures — table-sized closure constants
         # blow the remote-compile payload limit.
-        self._device_build = (not self.interpret
-                              and self.NW * self.NE > _DEVICE_BUILD_MIN_ELEMS)
+        # device_build: overridable for tests — the consume_plan path must
+        # be exercisable in the fast CPU lane (ADVICE r3), not only at >8M
+        # cells on hardware
+        if device_build is None:
+            device_build = (not self.interpret
+                            and self.NW * self.NE > _DEVICE_BUILD_MIN_ELEMS)
+        self._device_build = device_build
 
         # --- tap analysis -------------------------------------------------
         row_strides = [int(np.prod(state_shape[k + 1:nr], dtype=np.int64))
@@ -375,7 +585,7 @@ class PallasBackup6D:
         # from the plan's broadcast shapes; flat plans are dense (NW, NE)
         # and treated as coupled.
         lane_separable = not self.flat
-        for k in range(nr, d):
+        for k in range(nr, d) if lane_rec is None else ():
             lo_d, fr_d = plan.lo[k], plan.frac[k]
             if lo_d.shape[-1] > 1 or fr_d.shape[-1] > 1:
                 raise ValueError(
@@ -402,7 +612,11 @@ class PallasBackup6D:
             e_frac.append(fr[..., 0])
 
         w_taps, row_combos = _corner_live_sets(w_off, w_frac)
-        if self._device_build:
+        if lane_rec is not None:
+            lane_separable = False     # joint combos (coupled by default)
+            e_taps, lane_combos = _lane_live_recompute(
+                lane_rec, lane_strides, self.NW, self.NE)
+        elif self._device_build:
             e_taps, lane_combos = _lane_live_device(lane_lo, lane_fr,
                                                     lane_iota)
         else:
@@ -482,22 +696,67 @@ class PallasBackup6D:
         self.w_off_j = tuple(jnp.asarray(pad_rows(o).astype(np.int32))
                              for o in w_off)
         self.w_frac_j = tuple(jnp.asarray(pad_rows(f)) for f in w_frac)
-        if self._device_build:
+        if lane_rec is not None:
+            # recompute mode: lane plan arrays never exist; the kernel's
+            # inputs are the spec's tiny per-row / per-lane feature vectors
+            # (padded like every other row/lane array: edge rows, lane 0)
+            self.e_off_j, self.e_frac_j = (), ()
+
+            def pad_rf(r):
+                r = r[:, None]
+                if self.NWp > self.NW:
+                    r = jnp.concatenate(
+                        [r, jnp.broadcast_to(r[-1:],
+                                             (self.NWp - self.NW, 1))], 0)
+                return r
+
+            def pad_lf(f):
+                f = f[None, :]
+                if self.NEp > self.NE:
+                    f = jnp.concatenate(
+                        [f, jnp.broadcast_to(f[:, :1],
+                                             (1, self.NEp - self.NE))], 1)
+                return f
+
+            self.lane_rf_j = tuple(pad_rf(r) for r in lane_rec.row_feats)
+            self.lane_lf_j = tuple(pad_lf(f) for f in lane_rec.lane_feats)
+            self.lane_rec_meta = (lane_rec.fn, lane_rec.axis_starts,
+                                  lane_rec.axis_steps, lane_rec.axis_sizes,
+                                  lane_rec.edge)
+        elif self._device_build:
             self.e_off_j, self.e_frac_j = _lane_arrays_device(
                 lane_lo, lane_fr, lane_iota,
                 (self.NW, self.NE) if self.flat else state_shape,
                 self.NW, self.NE, self.NWp, self.NEp,
                 consume=consume_plan)
+            self.lane_rf_j, self.lane_lf_j = (), ()
+            self.lane_rec_meta = None
+            if consume_plan:
+                # the caller's plan lane buffers are DELETED now; nothing
+                # below this point may touch `plan` — enforced structurally
+                plan = None  # noqa: F841
         else:
             self.e_off_j = tuple(jnp.asarray(lane_full(o, np.int32))
                                  for o in e_off)
             self.e_frac_j = tuple(jnp.asarray(lane_full(f, np.float32))
                                   for f in e_frac)
+            self.lane_rf_j, self.lane_lf_j = (), ()
+            self.lane_rec_meta = None
 
         # --- factorized stage cost --------------------------------------
+        # Terms factor into: row-only, lane-only, action-only (the 6-D
+        # attitude split), plus two COUPLED buckets the stacked-channel EP
+        # problem needs (models/pos_att.py solve_ep): row x action (per-
+        # channel action costs incl. +inf padding of short action sets —
+        # affects the argmin, contracted in the action phase) and
+        # row x lane (per-channel lane state costs — argmin-neutral, added
+        # after it like c_row/c_lane). lane x action coupling stays
+        # unsupported (would force a table-sized per-action weight).
         c_row = np.zeros(self.NW, np.float32)
         c_lane = np.zeros(self.NE, np.float32)
         c_act = np.zeros(self.n_actions, np.float32)
+        c_rowact = None
+        c_rowlane = None
         terms = (list(cost_terms) if isinstance(cost_terms, (tuple, list))
                  else [cost_terms])
         nd_t = 3 if self.flat else d + 1
@@ -511,11 +770,20 @@ class PallasBackup6D:
                 row_dep = any(s > 1 for s in t.shape[:nr])
                 lane_dep = any(s > 1 for s in t.shape[nr:d])
             act_dep = t.shape[-1] > 1
-            if row_dep + lane_dep + act_dep > 1:
+            if (lane_dep and act_dep) or (row_dep and lane_dep and act_dep):
                 raise ValueError(
-                    "cost term couples row/lane/action groups — "
+                    "cost term couples the lane and action groups — "
                     "not factorizable for the 6-D kernel")
-            if act_dep:
+            if row_dep and act_dep:
+                shape = (self.NW, 1, self.n_actions) if self.flat \
+                    else state_shape[:nr] + (1,) * nc + (self.n_actions,)
+                add = np.broadcast_to(t, shape).reshape(self.NW,
+                                                        self.n_actions)
+                c_rowact = add.copy() if c_rowact is None else c_rowact + add
+            elif row_dep and lane_dep:
+                add = lane_full(t[..., 0], np.float32)
+                c_rowlane = add if c_rowlane is None else c_rowlane + add
+            elif act_dep:
                 c_act += t.reshape(-1) if self.flat else np.broadcast_to(
                     t, (1,) * d + (self.n_actions,)).reshape(self.n_actions)
             elif lane_dep:
@@ -528,6 +796,10 @@ class PallasBackup6D:
                 c_row += np.broadcast_to(t, shape).reshape(self.NW)
         self.c_row_j = jnp.asarray(pad_rows(c_row[:, None]))
         self.c_lane_j = jnp.asarray(pad_lanes(c_lane[None, :]))
+        self.c_rowact_j = () if c_rowact is None \
+            else (jnp.asarray(pad_rows(c_rowact)),)
+        self.c_rowlane_j = () if c_rowlane is None \
+            else (jnp.asarray(c_rowlane),)
         # per-action scalars become kernel immediates (tiny, host-known)
         self.c_act = tuple(float(x) for x in c_act)
 
@@ -572,7 +844,12 @@ class PallasBackup6D:
         w_frac = [next(it) for _ in range(nr)]
         e_off = [next(it) for _ in range(nc)]
         e_frac = [next(it) for _ in range(nc)]
-        c_row, c_lane = next(it), next(it)
+        rf = [next(it) for _ in range(len(self.lane_rf_j))]
+        c_row = next(it)
+        c_ra = next(it) if self.c_rowact_j else None
+        c_rl = next(it) if self.c_rowlane_j else None
+        lf = [next(it) for _ in range(len(self.lane_lf_j))]
+        c_lane = next(it)
         out_v, out_a = next(it), next(it)
         a_scr, we_scr, bc_scr = next(it), next(it), next(it)
         if hbm:
@@ -589,15 +866,42 @@ class PallasBackup6D:
         # with scratch staging is the shape that both compiles (~90s) and
         # runs.
 
-        # per-axis lane tap weights, shared across combos/passes
-        e_w = []
-        for k in range(nc):
-            ws = {}
-            off, fr = e_off[k][...], e_frac[k][...]
-            for t in self.e_taps[k]:
-                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
-                    + jnp.where(off == t - 1, fr, 0.0)
-            e_w.append(ws)
+        if self.lane_rec_meta is not None:
+            # lane-recompute mode: regenerate each lane axis's (off, frac)
+            # for this row tile from the per-row/per-lane features — the
+            # quaternion-step/readback math runs ONCE per tile, shared by
+            # every action and row shift; 24 B/cell of stored plan never
+            # exists (see LaneRecompute). Same fn + locate as the liveness
+            # pass — measured bit-identical across the XLA and Mosaic
+            # lowerings of kernelmath's trig on this toolchain.
+            fn, starts, steps, sizes, edge = self.lane_rec_meta
+            nc = len(sizes)
+            coords = fn([r[...] for r in rf], [f[0:1, :] for f in lf])
+            e_off, e_frac = [], []
+            for k, c in enumerate(coords):
+                lo, frv = _affine_locate(c, starts[k], steps[k], sizes[k],
+                                         edge)
+                iota = (jax.lax.broadcasted_iota(jnp.int32, (T, NE), 1)
+                        // self.lane_axis_strides[k]) % sizes[k]
+                e_off.append(lo - iota)
+                e_frac.append(frv)
+            e_w = []
+            for k in range(nc):
+                ws = {}
+                for t in self.e_taps[k]:
+                    ws[t] = jnp.where(e_off[k] == t, 1.0 - e_frac[k], 0.0) \
+                        + jnp.where(e_off[k] == t - 1, e_frac[k], 0.0)
+                e_w.append(ws)
+        else:
+            # per-axis lane tap weights, shared across combos/passes
+            e_w = []
+            for k in range(nc):
+                ws = {}
+                off, fr = e_off[k][...], e_frac[k][...]
+                for t in self.e_taps[k]:
+                    ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                        + jnp.where(off == t - 1, fr, 0.0)
+                e_w.append(ws)
 
         if self.lane_separable:
             # stage the per-axis weights in scratch (each is reused by
@@ -719,13 +1023,18 @@ class PallasBackup6D:
 
         if self.action_digits and nr == 3:
             best_v, best_a = self._action_phase_factorized(w_w, a_scr, bc_scr,
-                                                           T, NE)
+                                                           T, NE, c_ra)
         else:
-            best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr)
-        out_v[:, :] = best_v + c_row[...] + c_lane[0:1, :]
-        out_a[:, :] = best_a
+            best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr,
+                                                        c_ra)
+        out_v[:, :] = best_v + c_row[...] + c_lane[0:1, :] \
+            + (c_rl[...] if c_rl is not None else 0.0)
+        # argmin is written in the (possibly narrow) argmin_dtype — at
+        # envelope grids the int32 per-sweep output alone is GBs (the
+        # round-3 262M-cell OOM); uint8 at <= 256 actions quarters it
+        out_a[:, :] = best_a.astype(self.argmin_dtype)
 
-    def _action_phase_generic(self, w_w, a_scr, T, NE, nr):
+    def _action_phase_generic(self, w_w, a_scr, T, NE, nr, c_ra=None):
         """27 actions x |row_combos| accumulation (any action structure)."""
         best_v = None
         best_a = None
@@ -740,6 +1049,8 @@ class PallasBackup6D:
                 tot = term if tot is None else tot + term
             if self.c_act[a]:
                 tot = tot + self.c_act[a]
+            if c_ra is not None:
+                tot = tot + c_ra[:, a:a + 1]   # row x action cost column
             if best_v is None:
                 best_v = tot
                 best_a = jnp.zeros((T, NE), jnp.int32)
@@ -772,7 +1083,8 @@ class PallasBackup6D:
         _, _, b_slot, c_slot = self._bc_layout()
         return len(b_slot) + len(c_slot)
 
-    def _action_phase_factorized(self, w_w, a_scr, bc_scr, T, NE):
+    def _action_phase_factorized(self, w_w, a_scr, bc_scr, T, NE,
+                                 c_ra=None):
         """Digit-factorized contraction: axis k's weight depends only on
         action digit k (C-order a = (a0*m + a1)*m + a2), so tap axes
         contract one digit at a time — ~3*m^3 FMAs instead of
@@ -821,6 +1133,8 @@ class PallasBackup6D:
                 tot = term if tot is None else tot + term
             if self.c_act[a]:
                 tot = tot + self.c_act[a]
+            if c_ra is not None:
+                tot = tot + c_ra[:, a:a + 1]   # row x action cost column
             if best_v is None:
                 best_v = tot
                 best_a = jnp.zeros((T, NE), jnp.int32)
@@ -847,13 +1161,15 @@ class PallasBackup6D:
     _VMEM_TABLE_BUDGET = 4 * 1024 * 1024
 
     _LEAF_FIELDS = ("w_off_j", "w_frac_j", "e_off_j", "e_frac_j",
-                    "c_row_j", "c_lane_j")
+                    "lane_rf_j", "c_row_j", "c_rowact_j", "c_rowlane_j",
+                    "lane_lf_j", "c_lane_j")
     _AUX_FIELDS = ("state_shape", "n_actions", "NW", "NE", "NEp", "NWp",
                    "row_tile", "interpret", "row_combos", "lane_combos",
                    "row_deltas", "lane_deltas", "lane_axis_strides",
                    "lane_separable", "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
-                   "action_digits", "row_delta_group", "table_hbm")
+                   "action_digits", "row_delta_group", "table_hbm",
+                   "argmin_dtype", "lane_rec_meta")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
@@ -870,10 +1186,20 @@ class PallasBackup6D:
 
     @property
     def sweep_args(self) -> tuple:
-        """Per-row device arrays in ``_sweep_padded`` order. Sharded
-        engines pass device-local row slices of exactly these."""
+        """Device arrays in ``_sweep_padded`` order: the leading
+        ``len(sweep_args) - n_replicated_args`` are PER-ROW (sharded
+        engines pass device-local row slices of exactly these); the
+        trailing ``n_replicated_args`` are per-lane/replicated."""
         return (*self.w_off_j, *self.w_frac_j, *self.e_off_j,
-                *self.e_frac_j, self.c_row_j, self.c_lane_j)
+                *self.e_frac_j, *self.lane_rf_j, self.c_row_j,
+                *self.c_rowact_j, *self.c_rowlane_j,
+                *self.lane_lf_j, self.c_lane_j)
+
+    @property
+    def n_replicated_args(self) -> int:
+        """Trailing :attr:`sweep_args` entries that are NOT per-row arrays
+        (lane feature vectors + c_lane) — sharded engines replicate these."""
+        return 1 + len(self.lane_lf_j)
 
     def _sweep_padded(self, v2p: jax.Array, args, nwp: int):
         """One backup sweep over ``nwp`` (padded) output rows.
@@ -898,9 +1224,11 @@ class PallasBackup6D:
 
         table_spec = pl.BlockSpec(memory_space=pl.ANY) if hbm \
             else pl.BlockSpec(memory_space=pltpu.VMEM)
+        n_rep = self.n_replicated_args
         in_specs = [table_spec]
-        in_specs += [tile2(a) for a in args[:-1]]
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # c_lane
+        in_specs += [tile2(a) for a in args[:-n_rep]]
+        # lane feats + c_lane: whole-array VMEM residents (a few KB each)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_rep
 
         n_we = max(sum(len(t) for t in self.e_taps), 1) \
             if self.lane_separable else len(self.lane_deltas)
@@ -929,7 +1257,7 @@ class PallasBackup6D:
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nwp, NE), jnp.float32),
-                jax.ShapeDtypeStruct((nwp, NE), jnp.int32),
+                jax.ShapeDtypeStruct((nwp, NE), self.argmin_dtype),
             ],
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(

@@ -116,7 +116,7 @@ def value_iteration_finite_halo6(
             return (vals, argm), (argm.astype(pdt) if store_policies
                                   else None)
 
-        init = (v_blk, jnp.zeros((B, bk.NEp), jnp.int32))
+        init = (v_blk, jnp.zeros((B, bk.NEp), bk.argmin_dtype))
         (v_fin, argm), pols = jax.lax.scan(sweep, init, None,
                                            length=num_sweeps)
         if store_policies:
@@ -124,10 +124,12 @@ def value_iteration_finite_halo6(
         return v_fin, argm
 
     rows = P(axis_name, None)
+    n_rep = bk.n_replicated_args
     in_specs = [rows]
-    for a in bk.sweep_args[:-1]:
+    for a in bk.sweep_args[:-n_rep]:
         in_specs.append(rows)
-    in_specs.append(P(None, None))               # c_lane: replicated
+    # lane feats + c_lane: replicated
+    in_specs += [P(None, None)] * n_rep
     out_specs = (rows, rows, P(None, axis_name, None)) if store_policies \
         else (rows, rows)
 
@@ -227,7 +229,7 @@ def value_iteration_converged_halo6(
 
         init = (
             v_blk,
-            jnp.zeros((B, bk.NEp), jnp.int32),
+            jnp.zeros((B, bk.NEp), bk.argmin_dtype),
             jnp.asarray(max_sweeps, jnp.int32),
             (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
             jnp.asarray(False),
@@ -239,7 +241,9 @@ def value_iteration_converged_halo6(
         return v_fin, argm, k_s, converged, checks
 
     rows = P(axis_name, None)
-    in_specs = [rows] + [rows] * (len(bk.sweep_args) - 1) + [P(None, None)]
+    n_rep = bk.n_replicated_args
+    in_specs = [rows] + [rows] * (len(bk.sweep_args) - n_rep) \
+        + [P(None, None)] * n_rep
     out_specs = (rows, rows, P(), P(), P())
     fn = jax.shard_map(run, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=out_specs, check_vma=False)

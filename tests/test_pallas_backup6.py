@@ -14,7 +14,8 @@ import pytest
 
 from ocdp_tpu.models import attitude
 from ocdp_tpu.ops.backup import bellman_backup
-from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+from ocdp_tpu.ops.pallas_backup6 import (PallasBackup6D,
+                                           build_pallas_backup_6d)
 
 
 def _full_cost(plan, cost_terms):
@@ -225,3 +226,124 @@ def test_chunked_build_solve_matches(small_problem):
                                rtol=1e-5, atol=1e-4)
     assert (np.asarray(sols[0].result.argmin)
             == np.asarray(sols[1].result.argmin)).mean() > 0.999
+
+
+# ---------------------------------------------------------------- round 4
+
+def _small_full(nw=7, nq=5, lane_mode="plan"):
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=nw, n_mesh_q=nq)
+    return attitude.build_full(cfg, lane_mode=lane_mode)
+
+
+def test_lane_recompute_matches_stored_plan():
+    """Recompute mode (VERDICT r3 item 1b): the kernel regenerating the
+    Euler (lo, frac) in-kernel must agree with the stored-plan kernel to
+    f32 transcendental tolerance and with 100% argmin agreement."""
+    grid, plan_p, cost_p = _small_full()
+    grid2, plan_r, cost_r = _small_full(lane_mode="recompute")
+    bk_p = PallasBackup6D(plan_p, cost_p, interpret=True)
+    bk_r = PallasBackup6D(plan_r, cost_r, interpret=True,
+                          argmin_dtype=jnp.uint8)
+    assert len(bk_r.lane_combos) <= len(bk_p.lane_combos) + 8
+    v = jax.random.normal(jax.random.PRNGKey(0), grid.shape,
+                          jnp.float32) * 3.0
+    rp, rr = bk_p(v), bk_r(v)
+    assert rr.argmin.dtype == jnp.uint8
+    scale = float(jnp.max(jnp.abs(rp.values)))
+    assert float(jnp.max(jnp.abs(rp.values - rr.values))) < 3e-5 * max(
+        scale, 1.0)
+    assert float(jnp.mean((rp.argmin == rr.argmin.astype(jnp.int32))
+                          .astype(jnp.float32))) > 0.999
+
+
+def test_lane_recompute_through_engine():
+    """RecomputePlan rides the finite engine (narrow carry dtypes) and the
+    multi-sweep result tracks the stored-plan solve."""
+    from ocdp_tpu.engine import value_iteration_finite
+
+    grid, plan_p, cost_p = _small_full()
+    grid2, plan_r, cost_r = _small_full(lane_mode="recompute")
+    bk_p = PallasBackup6D(plan_p, cost_p, interpret=True)
+    bk_r = PallasBackup6D(plan_r, cost_r, interpret=True,
+                          argmin_dtype=jnp.uint8)
+    rp = value_iteration_finite(plan_p, None, 10, backup=bk_p)
+    rr = value_iteration_finite(plan_r, None, 10, backup=bk_r)
+    scale = float(jnp.max(jnp.abs(rp.values)))
+    assert float(jnp.max(jnp.abs(rp.values - rr.values))) < 1e-4 * scale
+    assert rr.argmin.dtype == jnp.int32   # SolveResult contract
+    assert float(jnp.mean((rp.argmin == rr.argmin)
+                          .astype(jnp.float32))) > 0.999
+
+
+def test_narrow_argmin_dtype_bitwise():
+    """uint8 kernel argmin output is bitwise the int32 one, values equal."""
+    grid, plan, cost = _small_full()
+    bk32 = PallasBackup6D(plan, cost, interpret=True)
+    bk8 = PallasBackup6D(plan, cost, interpret=True, argmin_dtype=jnp.uint8)
+    v = jax.random.normal(jax.random.PRNGKey(1), grid.shape, jnp.float32)
+    r32, r8 = bk32(v), bk8(v)
+    np.testing.assert_array_equal(np.asarray(r32.values),
+                                  np.asarray(r8.values))
+    np.testing.assert_array_equal(np.asarray(r32.argmin),
+                                  np.asarray(r8.argmin, np.int32))
+
+
+def test_rowact_and_rowlane_cost_terms_vs_oracle():
+    """The EP-enabling coupled cost buckets: row x action enters the argmin
+    contraction, row x lane adds after it — both must match the gather
+    oracle with the same terms appended."""
+    from ocdp_tpu.ops.backup import bellman_backup
+
+    grid, plan, cost = _small_full(nw=5, nq=4)
+    nmw, nmq = 5, 4
+    rng = np.random.default_rng(3)
+    c_ra = jnp.asarray(rng.uniform(0, 2, (nmw, nmw, nmw, 1, 1, 1, 27)),
+                       jnp.float32)
+    c_rl = jnp.asarray(rng.uniform(0, 2, (nmw,) * 3 + (nmq,) * 3 + (1,)),
+                       jnp.float32)
+    terms = list(cost) + [c_ra, c_rl]
+    bk = PallasBackup6D(plan, terms, interpret=True)
+    assert bk.c_rowact_j and bk.c_rowlane_j
+    v = jax.random.normal(jax.random.PRNGKey(2), grid.shape, jnp.float32)
+    got = bk(v)
+    ref = bellman_backup(v, plan, terms)
+    scale = max(1.0, float(jnp.max(jnp.abs(ref.values))))
+    np.testing.assert_allclose(np.asarray(got.values),
+                               np.asarray(ref.values), atol=3e-5 * scale)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.999
+
+
+def test_laneact_coupling_rejected():
+    grid, plan, cost = _small_full(nw=5, nq=4)
+    nmq = 4
+    bad = jnp.ones((1, 1, 1, nmq, nmq, nmq, 27), jnp.float32)
+    with pytest.raises(ValueError, match="lane and action"):
+        PallasBackup6D(plan, list(cost) + [bad], interpret=True)
+
+
+def test_consume_plan_fast_lane():
+    """consume_plan=True end-to-end in the default lane (ADVICE r3): the
+    device-build path runs on CPU via the device_build override; the
+    caller's flat-plan lane buffers must be deleted and the result must
+    still match the oracle."""
+    from ocdp_tpu.models import attitude
+    from ocdp_tpu.ops.backup import bellman_backup
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    grid, plan, cost = attitude.build_full(cfg, flat=True)
+    grid2, plan_ref, cost_ref = attitude.build_full(cfg, flat=False)
+    bk = PallasBackup6D(plan, cost, interpret=True, device_build=True,
+                        consume_plan=True)
+    # the flat plan's LANE buffers (axes 3..5) were consumed
+    for k in range(3, 6):
+        assert plan.lo[k].is_deleted(), f"lane lo[{k}] not consumed"
+        assert plan.frac[k].is_deleted(), f"lane frac[{k}] not consumed"
+    v = jax.random.normal(jax.random.PRNGKey(4), grid.shape, jnp.float32)
+    got = bk(v)
+    ref = bellman_backup(v, plan_ref, cost_ref)
+    scale = max(1.0, float(jnp.max(jnp.abs(ref.values))))
+    np.testing.assert_allclose(np.asarray(got.values),
+                               np.asarray(ref.values), atol=3e-5 * scale)
+    assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.999
