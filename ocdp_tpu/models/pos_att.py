@@ -41,7 +41,7 @@ from ..engine import SolveResult, value_iteration_converged
 from ..grids import Grid, sym_linspace_exact
 from ..io import ChannelController
 from ..ops import default_impl
-from ..ops.interp import InterpPlan, build_plan, interp_apply
+from ..ops.interp import InterpPlan, build_plan
 from ..ops.stencil import build_stencil_backup
 from ..utils.frames import body_to_rsw, rsw_to_body
 from ..utils.quaternions import quat_kinematics, small_angles_from_quat
@@ -56,6 +56,7 @@ __all__ = [
     "CHANNELS",
     "build_channel",
     "build_channel_rowlane_backup",
+    "build_ep_rowlane_backups",
     "solve_channel",
     "solve",
     "solve_ep",
@@ -211,7 +212,27 @@ def build_channel(cfg: PosAttConfig, channel: str, *, failure: bool = False) -> 
     return ChannelProblem(cfg, channel, failure, grid, forces, plan, cost)
 
 
-def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem):
+def _pad_plan_actions(plan: InterpPlan, n_act: int) -> InterpPlan:
+    """Edge-repeat a plan's action axis out to ``n_act`` columns.
+
+    Padded actions re-query the last real action's next states (finite
+    arithmetic); the caller pairs them with +inf stage cost so the argmin
+    can never select them (the reference's short failure-mode action set,
+    Solver_pos_att.m:236-240, padded to the full 9-combo width for
+    stacked-channel solves)."""
+    def pad(a):
+        if a.shape[-1] in (1, n_act):
+            return a
+        reps = jnp.broadcast_to(a[..., -1:],
+                                a.shape[:-1] + (n_act - a.shape[-1],))
+        return jnp.concatenate([a, reps], axis=-1)
+
+    return InterpPlan(tuple(pad(x) for x in plan.lo),
+                      tuple(pad(x) for x in plan.frac), plan.grid_shape)
+
+
+def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem,
+                                 *, n_act: Optional[int] = None, **kw):
     """Row/lane Pallas kernel under the (v, w, x, t) permutation.
 
     rows = the action-coupled axes (v' dep (v, u); w' dep (w, u)), lanes =
@@ -219,19 +240,54 @@ def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem):
     structure is exactly row/lane separable after this permutation. The
     factorized cost terms reproduce ``build_channel``'s stage cost
     (:784-802) term by term.
+
+    ``n_act``: pad the action set out to this width (+inf cost on padded
+    combos; see :func:`_pad_plan_actions`). Extra ``**kw`` (``live_sets``,
+    ``cost_act_traced``, ...) pass through to the kernel builder.
     """
     from ..ops.pallas_backup6 import PermutedRowLaneBackup
 
     ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
+    plan = problem.plan
+    fsq = (problem.forces ** 2).sum(axis=1).astype(np.float32)
+    if n_act is not None and n_act > fsq.shape[0]:
+        plan = _pad_plan_actions(plan, n_act)
+        fsq = np.concatenate(
+            [fsq, np.full(n_act - fsq.shape[0], np.inf, np.float32)])
     return PermutedRowLaneBackup(
-        problem.plan,
+        plan,
         [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
          cfg.Qv * ax[1][None, :, None, None, None] ** 2,
          cfg.Qt * ax[2][None, None, :, None, None] ** 2,
          cfg.Qw * ax[3][None, None, None, :, None] ** 2,
-         cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
-                             jnp.float32)[None, None, None, None, :]],
-        perm=(1, 3, 0, 2), row_axes=2)
+         cfg.R * jnp.asarray(fsq)[None, None, None, None, :]],
+        perm=(1, 3, 0, 2), row_axes=2, **kw)
+
+
+def build_ep_rowlane_backups(cfg: PosAttConfig, problems):
+    """One rowlane backup per channel, all with IDENTICAL treedefs.
+
+    Channels differ in action-set width (failure channel: 6 of 9 combos)
+    and tap structure (per-channel inertia changes the ω-step reach —
+    e.g. the y channel's row taps span ±2 cells where x/z span ±1), so a
+    naive per-channel build yields incompatible pytrees. Short action sets
+    are +inf-padded, per-action costs ride the traced row×action bucket,
+    and every backup is rebuilt against the UNION tap structure — extra
+    taps carry exactly-zero weight, so each backup's output is unchanged
+    (tested bitwise vs its own-structure build). The results stack leaf-
+    by-leaf for :func:`solve_ep`'s single shard_mapped program.
+    """
+    n_act = max(p.plan.query_shape[-1] for p in problems)
+    first = [build_channel_rowlane_backup(cfg, p, n_act=n_act,
+                                          cost_act_traced=True)
+             for p in problems]
+    from ..ops.pallas_backup6 import union_live_sets
+
+    union = union_live_sets([b.bk for b in first])
+    return [build_channel_rowlane_backup(cfg, p, n_act=n_act,
+                                         cost_act_traced=True,
+                                         live_sets=union)
+            for p in problems]
 
 
 def solve_channel(
@@ -370,22 +426,34 @@ def solve_ep(
     include_failure: bool = True,
     axis_name: str = "c",
     max_sweeps: Optional[int] = None,
-) -> PosAttSolution:
+    tol_mode: str = "abs",
+    return_results: bool = False,
+):
     """All channels solved in ONE mesh dispatch — channel-level expert
     parallelism (SURVEY.md §2.5 EP row).
 
     The reference runs its four channel solves serially
-    (Solver_pos_att.m:217-240); here each mesh device owns one channel:
-    the value tables are stacked (C, nx, nv, nt, nw) and sharded on the
-    channel axis, plans/costs stacked alongside (the x-failure channel's
-    6-combo action set is padded to 9 with +inf stage cost so padded combos
-    never win). Each channel keeps ITS OWN early-stop decision
-    (:268-286): a converged channel freezes (no further updates — its table
-    is exactly what the serial solve stops with) while the lockstep loop
-    runs until every channel's flag is set (one scalar ``psum`` per sweep).
-    Results are bitwise equal to the serial :func:`solve_channel` runs.
+    (Solver_pos_att.m:217-240); here each mesh device owns one channel.
+    :func:`build_ep_rowlane_backups` gives every channel's fast rowlane
+    Pallas backup one shared treedef (union tap structure, +inf action
+    padding, traced action costs), so their leaves stack into a single
+    (C, ...)-leading pytree sharded over the channel mesh axis. The
+    shard_mapped program is just :func:`value_iteration_converged` — the
+    SAME engine (checksum early stop, check log) the serial solve runs, so
+    per-channel stop decisions are identical by construction; each device's
+    while_loop simply exits when ITS channel converges (no lockstep, no
+    cross-channel collective — an early-stopping channel's device goes
+    idle, exactly the serial semantics, concurrently).
+
+    Per-channel values/argmin equal the serial rowlane
+    :func:`solve_channel` runs bitwise (tested), and the per-channel
+    throughput IS the single-chip rowlane kernel rate. Returns
+    ``PosAttSolution`` (plus a per-channel ``dict`` of result fields —
+    ``num_sweeps``/``converged``/``checks`` — when ``return_results``).
     """
     from jax.sharding import Mesh, PartitionSpec as P
+
+    from ..ops.interp import PlanShape
 
     if mesh is None:
         n_dev = 4 if include_failure else 3
@@ -401,101 +469,32 @@ def solve_ep(
             f"mesh axis {axis_name!r} has {mesh.shape[axis_name]} devices "
             f"but {n_ch} channels")
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
-    state_shape = problems[0].plan.query_shape[:-1]
-    n_act = max(p.plan.query_shape[-1] for p in problems)
-    n_checks = max(sweeps // cfg.check_every, 1)
 
-    # stack plans/costs with a leading channel axis; pad action axes by
-    # edge-repeating queries and +inf-ing the cost (argmin can't pick them)
-    def stack(arrs, pad_mode):
-        full = []
-        for a in arrs:
-            a = np.asarray(a)
-            # broadcast-singleton action axes stay singleton (shared by
-            # every action); only true per-action axes narrower than n_act
-            # get padded
-            if a.shape[-1] not in (1, n_act):
-                pad = [(0, 0)] * a.ndim
-                pad[-1] = (0, n_act - a.shape[-1])
-                a = (np.pad(a, pad, mode="edge") if pad_mode == "edge"
-                     else np.pad(a, pad, constant_values=np.inf))
-            full.append(a)
-        shp = np.broadcast_shapes(*(a.shape for a in full))
-        return jnp.asarray(np.stack([np.broadcast_to(a, shp) for a in full]))
+    backups = build_ep_rowlane_backups(cfg, problems)
+    treedefs = {jax.tree_util.tree_structure(b) for b in backups}
+    if len(treedefs) != 1:   # union builder guarantees this; fail loudly
+        raise AssertionError(
+            f"EP backups did not unify to one treedef: {treedefs}")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *backups)
+    plan_shape = PlanShape.of(problems[0].plan)
 
-    k_axes = len(state_shape)
-    los = [stack([p.plan.lo[k] for p in problems], "edge")
-           for k in range(k_axes)]
-    frs = [stack([p.plan.frac[k] for p in problems], "edge")
-           for k in range(k_axes)]
-    costs = stack([p.stage_cost for p in problems], "inf")
+    def run(stk):
+        bk = jax.tree.map(lambda x: x[0], stk)
+        res = value_iteration_converged(
+            plan_shape, None, sweeps, check_every=cfg.check_every,
+            tol=cfg.tol, tol_mode=tol_mode, backup=bk)
+        return (res.values[None], res.argmin[None], res.num_sweeps[None],
+                res.converged[None], res.checks[None])
 
-    def spec(a):
-        return P(*([axis_name] + [None] * (a.ndim - 1)))
-
-    def run(v0, *flat):
-        los_l = flat[:k_axes]
-        frs_l = flat[k_axes:2 * k_axes]
-        cost = flat[2 * k_axes][0]
-        plan_l = InterpPlan(tuple(x[0] for x in los_l),
-                            tuple(x[0] for x in frs_l), state_shape)
-
-        def cond(carry):
-            return jnp.logical_not(carry[4])
-
-        def body(carry):
-            v, args_prev, k_s, (fsum_prev, usum_prev), _, frozen, \
-                checks, c_idx = carry
-            total = interp_apply(v, plan_l) + cost
-            total = jnp.broadcast_to(total, state_shape + (n_act,))
-            vals = jnp.min(total, axis=-1)
-            args = jnp.argmin(total, axis=-1).astype(jnp.int32)
-            # converged channels freeze at their stopping table
-            vals = jnp.where(frozen, v, vals)
-            args = jnp.where(frozen, args_prev, args)
-            do_check = jnp.logical_and((k_s % cfg.check_every) == 0,
-                                       jnp.logical_not(frozen))
-            fsum = jnp.sum(vals, dtype=jnp.float32)
-            usum = jnp.sum(args, dtype=jnp.float32)
-            err_f = fsum - fsum_prev
-            err_u = usum - usum_prev
-            newly = jnp.logical_and(do_check, jnp.abs(err_f) < cfg.tol)
-            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
-            checks = jnp.where(do_check, checks.at[c_idx].set(row), checks)
-            c_idx = jnp.where(do_check, c_idx + 1, c_idx)
-            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
-            usum_prev = jnp.where(do_check, usum, usum_prev)
-            frozen = jnp.logical_or(frozen, newly)
-            frozen = jnp.logical_or(frozen, k_s <= 1)
-            all_done = jax.lax.psum(
-                jnp.logical_not(frozen).astype(jnp.int32), axis_name) == 0
-            return (vals, args, k_s - 1, (fsum_prev, usum_prev), all_done,
-                    frozen, checks, c_idx)
-
-        init = (
-            v0[0],
-            jnp.zeros(state_shape, jnp.int32),
-            jnp.asarray(sweeps, jnp.int32),
-            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
-            jnp.asarray(False),
-            jnp.asarray(False),
-            jnp.zeros((n_checks, 3), jnp.float32),
-            jnp.asarray(0, jnp.int32),
-        )
-        v_fin, args, k_s, _, _, frozen, checks, _ = jax.lax.while_loop(
-            cond, body, init)
-        return (v_fin[None], args[None], k_s[None], frozen[None],
-                checks[None])
-
-    v0 = jnp.zeros((n_ch,) + state_shape, jnp.float32)
-    in_specs = (spec(v0),) + tuple(spec(a) for a in los + frs) + (spec(costs),)
-    out_specs = (P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                 P(axis_name))
+    in_specs = (jax.tree.map(
+        lambda x: P(*([axis_name] + [None] * (x.ndim - 1))), stacked),)
+    out_specs = (P(axis_name),) * 5
     fn = jax.shard_map(run, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    vals, args, k_s, frozen, checks = jax.jit(fn)(v0, *los, *frs, costs)
+    vals, args, n_sweeps, converged, checks = jax.jit(fn)(stacked)
 
     controllers = {}
+    results = {}
     for i, name in enumerate(names):
         controllers[name] = ChannelController(
             axes=tuple(problems[i].grid.axes),
@@ -503,7 +502,13 @@ def solve_ep(
             argmin=np.asarray(args[i]),
             forces=problems[i].forces,
         )
-    return PosAttSolution(cfg, controllers)
+        results[name] = {
+            "num_sweeps": int(n_sweeps[i]),
+            "converged": bool(converged[i]),
+            "checks": np.asarray(checks[i]),
+        }
+    sol = PosAttSolution(cfg, controllers)
+    return (sol, results) if return_results else sol
 
 
 def default_x0(pitch_deg: float = 3.0):

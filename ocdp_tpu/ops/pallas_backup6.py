@@ -464,7 +464,9 @@ class PallasBackup6D:
                  max_flat_taps: int = 40, row_pad_to: int | None = None,
                  row_delta_group: int = 2, table_hbm: bool | None = None,
                  consume_plan: bool = False, argmin_dtype=jnp.int32,
-                 device_build: bool | None = None):
+                 device_build: bool | None = None,
+                 live_sets: tuple | None = None,
+                 cost_act_traced: bool = False):
         d = plan.ndim
         q_shape = plan.query_shape
         # in-kernel-recomputed lane queries (RecomputePlan): no lane plan
@@ -621,6 +623,36 @@ class PallasBackup6D:
                                                     lane_iota)
         else:
             e_taps, lane_combos = _corner_live_sets(e_off, e_frac)
+        if live_sets is not None:
+            # SUPERSET tap structure shared across several problems so each
+            # one's backup has an IDENTICAL treedef — the stacked-channel EP
+            # solve (models/pos_att.solve_ep) shard_maps ONE traced program
+            # over per-channel leaf stacks, which requires static aux
+            # equality. Taps/combos a given problem never reaches carry
+            # exactly-zero weights at every (row, lane, action) element, so
+            # values and argmin are unchanged (0-contribution addends).
+            # Validated as a superset so a stale union fails loudly.
+            u_w_taps, u_row_combos, u_e_taps, u_lane_combos = live_sets
+            for k in range(nr):
+                if not set(w_taps[k]) <= set(u_w_taps[k]):
+                    raise ValueError(
+                        f"live_sets row taps axis {k} {u_w_taps[k]} do not "
+                        f"cover this plan's {tuple(w_taps[k])}")
+            if not {tuple(c) for c in row_combos} <= \
+                    {tuple(c) for c in u_row_combos}:
+                raise ValueError("live_sets row combos do not cover this "
+                                 "plan's live combos")
+            for k in range(d - nr):
+                if not set(e_taps[k]) <= set(u_e_taps[k]):
+                    raise ValueError(
+                        f"live_sets lane taps axis {k} {u_e_taps[k]} do not "
+                        f"cover this plan's {tuple(e_taps[k])}")
+            if not {tuple(c) for c in lane_combos} <= \
+                    {tuple(c) for c in u_lane_combos}:
+                raise ValueError("live_sets lane combos do not cover this "
+                                 "plan's live combos")
+            w_taps, row_combos = u_w_taps, u_row_combos
+            e_taps, lane_combos = u_e_taps, u_lane_combos
         self.row_combos = tuple(row_combos)    # flat row offs
         self.lane_combos = tuple(lane_combos)  # flat lane offs
         self.lane_separable = lane_separable
@@ -631,7 +663,10 @@ class PallasBackup6D:
         # tap axes one digit at a time: 3*digits^(axes) FMAs instead of
         # actions * row_combos (243 vs 729 at 27 actions).
         self.action_digits = None
-        if nr >= 1:
+        if nr >= 1 and live_sets is None:
+            # (under live_sets the digit decision could differ per problem
+            # — e.g. edge-padded action columns break it — so EP-stacked
+            # backups uniformly use the generic action phase)
             digits = self._detect_action_digits(w_off, w_frac, nr)
             if digits is not None:
                 self.action_digits = digits
@@ -774,7 +809,11 @@ class PallasBackup6D:
                 raise ValueError(
                     "cost term couples the lane and action groups — "
                     "not factorizable for the 6-D kernel")
-            if row_dep and act_dep:
+            if act_dep and (row_dep or cost_act_traced):
+                # cost_act_traced: per-action costs ride the TRACED
+                # row x action bucket instead of the static c_act
+                # immediates, so problems with different action costs
+                # (e.g. +inf-padded short action sets) share one treedef
                 shape = (self.NW, 1, self.n_actions) if self.flat \
                     else state_shape[:nr] + (1,) * nc + (self.n_actions,)
                 add = np.broadcast_to(t, shape).reshape(self.NW,
@@ -1282,6 +1321,29 @@ class PallasBackup6D:
 
 def build_pallas_backup_6d(plan: InterpPlan, cost_terms, **kw) -> PallasBackup6D:
     return PallasBackup6D(plan, cost_terms, **kw)
+
+
+def union_live_sets(backups) -> tuple:
+    """Superset ``(w_taps, row_combos, e_taps, lane_combos)`` covering every
+    given :class:`PallasBackup6D` — rebuild each with ``live_sets=`` this to
+    give them all one treedef (the EP-stacking requirement; see
+    ``__init__``). Per-axis taps are re-derived from the unioned combos so
+    the pair stays self-consistent."""
+    def combo_union(field):
+        s = set()
+        for b in backups:
+            s |= {tuple(c) for c in getattr(b, field)}
+        return tuple(sorted(s))
+
+    row_combos = combo_union("row_combos")
+    lane_combos = combo_union("lane_combos")
+    nr = len(backups[0].w_taps)
+    ncl = len(backups[0].e_taps)
+    w_taps = tuple(tuple(sorted({c[k] for c in row_combos}))
+                   for k in range(nr))
+    e_taps = tuple(tuple(sorted({c[k] for c in lane_combos}))
+                   for k in range(ncl))
+    return (w_taps, row_combos, e_taps, lane_combos)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -1,10 +1,15 @@
 """pos-att channel expert-parallelism: 4 channels in one mesh dispatch.
 
 The reference solves x / y / z / x-failure serially
-(Solver_pos_att.m:217-240); ``solve_ep`` shards them over a mesh axis with
-per-channel early stopping. Must be bitwise equal to the serial solves.
+(Solver_pos_att.m:217-240); ``solve_ep`` shards them over a mesh axis.
+Round-4 rebuild: each device runs the SAME ``value_iteration_converged``
+engine the serial path uses, over the fast rowlane Pallas backup rebuilt
+with a union tap structure (one treedef across channels) — so EP must be
+bitwise equal to the serial rowlane solves, channel by channel.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -16,33 +21,79 @@ def small_cfg(**kw):
                                 n_mesh_w=5, **kw)
 
 
+def _problems(cfg, include_failure=True):
+    ps = [pos_att.build_channel(cfg, ch) for ch in ("x", "y", "z")]
+    if include_failure:
+        ps.append(pos_att.build_channel(cfg, "x", failure=True))
+    return ps
+
+
+def test_union_backups_one_treedef_and_bitwise():
+    """The union-structure rebuild must (a) unify all four channels to one
+    treedef and (b) leave every channel's backup output bitwise unchanged
+    vs its own-structure build (extra taps carry exactly-zero weight)."""
+    cfg = small_cfg()
+    problems = _problems(cfg)
+    bks = pos_att.build_ep_rowlane_backups(cfg, problems)
+    assert len({jax.tree_util.tree_structure(b) for b in bks}) == 1
+    rng = np.random.default_rng(0)
+    for p, uni in zip(problems, bks):
+        own = pos_att.build_channel_rowlane_backup(cfg, p)
+        v = jnp.asarray(rng.uniform(0, 5, p.grid.shape).astype(np.float32))
+        r_own, r_uni = own(v), uni(v)
+        np.testing.assert_array_equal(np.asarray(r_own.values),
+                                      np.asarray(r_uni.values))
+        np.testing.assert_array_equal(np.asarray(r_own.argmin),
+                                      np.asarray(r_uni.argmin))
+
+
 @pytest.mark.parametrize("include_failure", [True, False])
 def test_ep_matches_serial(include_failure):
+    """EP == serial rowlane solve_channel, bitwise (values AND argmin)."""
     cfg = small_cfg()
-    sol = pos_att.solve_ep(cfg, include_failure=include_failure,
-                           max_sweeps=40)
+    sol, results = pos_att.solve_ep(cfg, include_failure=include_failure,
+                                    max_sweeps=25, return_results=True)
     names = ["x", "y", "z"] + (["x_failure"] if include_failure else [])
     assert set(sol.controllers) == set(names)
     for name in names:
-        ctrl_ref, _ = pos_att.solve_channel(
+        ctrl_ref, res_ref = pos_att.solve_channel(
             cfg, name.replace("_failure", ""), failure="failure" in name,
-            impl="gather", max_sweeps=40)
+            impl="pallas", max_sweeps=25)
         got = sol.controllers[name]
         np.testing.assert_array_equal(got.values, ctrl_ref.values)
         np.testing.assert_array_equal(got.argmin, ctrl_ref.argmin)
         np.testing.assert_array_equal(got.forces, ctrl_ref.forces)
+        assert results[name]["num_sweeps"] == int(res_ref.num_sweeps)
+        assert results[name]["converged"] == bool(res_ref.converged)
 
 
-def test_ep_per_channel_early_stop_freeze():
-    """With a huge tolerance every channel stops at its first check and the
-    frozen tables equal the serial early-stopped solves."""
+def test_ep_close_to_gather_oracle():
+    """The rowlane kernel EP rides differs from the gather oracle only by
+    f32 summation order."""
+    cfg = small_cfg()
+    sol = pos_att.solve_ep(cfg, max_sweeps=30)
+    for name in ("x", "y", "z"):
+        ctrl_ref, _ = pos_att.solve_channel(cfg, name, impl="gather",
+                                            max_sweeps=30)
+        np.testing.assert_allclose(sol.controllers[name].values,
+                                   ctrl_ref.values, rtol=2e-6, atol=1e-5)
+        agree = (sol.controllers[name].argmin == ctrl_ref.argmin).mean()
+        assert agree > 0.999
+
+
+def test_ep_per_channel_early_stop():
+    """With a huge tolerance every channel stops at its first check, each
+    device's while_loop exiting independently — identical stop sweep and
+    tables to the serial early-stopped solves."""
     cfg = small_cfg(tol=1e12, check_every=5)
-    sol = pos_att.solve_ep(cfg, max_sweeps=40)
+    sol, results = pos_att.solve_ep(cfg, max_sweeps=20, return_results=True)
     for name in ("x", "y", "z", "x_failure"):
         ctrl_ref, res_ref = pos_att.solve_channel(
             cfg, name.replace("_failure", ""), failure="failure" in name,
-            impl="gather", max_sweeps=40)
+            impl="pallas", max_sweeps=20)
         assert bool(res_ref.converged)
+        assert results[name]["converged"]
+        assert results[name]["num_sweeps"] == int(res_ref.num_sweeps)
         got = sol.controllers[name]
         np.testing.assert_array_equal(got.values, ctrl_ref.values)
         np.testing.assert_array_equal(got.argmin, ctrl_ref.argmin)
@@ -58,11 +109,21 @@ def test_ep_failure_channel_action_padding():
     assert sol.controllers["x_failure"].argmin.max() < n_fail_actions
 
 
+def test_live_sets_must_be_superset():
+    """A live_sets that misses one of the plan's own live combos fails
+    loudly (guards against a stale union)."""
+    cfg = small_cfg()
+    p = pos_att.build_channel(cfg, "y")   # widest row reach (+-2)
+    own = pos_att.build_channel_rowlane_backup(cfg, p).bk
+    bad = (own.w_taps, own.row_combos[:-1], own.e_taps, own.lane_combos)
+    with pytest.raises(ValueError, match="do not cover"):
+        pos_att.build_channel_rowlane_backup(cfg, p, live_sets=bad)
+
+
 def test_sharded_channel_solve_matches_serial():
     """solve_channel_sharded (halo + replicated engines) == the single-chip
     early-stopping channel solve — the high-res scaling path of
     BASELINE.json configs #4/#5."""
-    import jax
     from jax.sharding import Mesh
 
     cfg = pos_att.PosAttConfig(n_mesh_x=16, n_mesh_v=8, n_mesh_t=6,
