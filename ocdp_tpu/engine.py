@@ -142,6 +142,41 @@ def value_iteration_finite(
         out = res.argmin.astype(pdt) if store_policies else res.argmin
         return res.values, (out, probe(res.values))
 
+    if not store_policies and getattr(backup, "carry_padded", False):
+        # padded-carry mode (flagship 6-D envelope): the scan carry IS the
+        # kernel's padded table — no per-sweep pad/slice copies, ~8 B/cell
+        # less peak HBM than the plain no-store path (the 512M-cell lever)
+        if probe_window is not None:
+            raise ValueError("probe_window unsupported with a carry_padded "
+                             "backup (the carry is the padded table)")
+        adt = backup.argmin_dtype
+
+        def sweep_carry(carry, _):
+            v2p, _ = carry
+            return backup.sweep_carry(v2p), None
+
+        a0 = jnp.zeros((backup.carry_rows, backup.NEp), adt)
+        (v2p, argm), _ = jax.lax.scan(sweep_carry, (backup.pad_carry(v), a0),
+                                      None, length=num_sweeps)
+        # FLAT-plan results stay in the flat (rows, lanes) layout: a 6-D
+        # array with small trailing dims pays ~8x TPU tile padding as a jit
+        # OUTPUT (the 439M-cell envelope wall was this buffer, not the
+        # sweeps). Small non-flat problems keep the state shape.
+        values = backup.unpad_values(v2p)
+        argmin = backup.unpad_argmin(argm).astype(jnp.int32)
+        flat_plan = len(plan.query_shape) != plan.ndim + 1
+        if not flat_plan:
+            values = values.reshape(state_shape)
+            argmin = argmin.reshape(state_shape)
+        return SolveResult(
+            values=values,
+            argmin=argmin,
+            policies=None,
+            num_sweeps=jnp.asarray(num_sweeps, jnp.int32),
+            converged=jnp.asarray(False),
+            probes=None,
+        )
+
     if store_policies:
         values, (policies, probes) = jax.lax.scan(sweep, v, None,
                                                   length=num_sweeps)

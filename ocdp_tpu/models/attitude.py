@@ -291,6 +291,19 @@ class FullSolution(NamedTuple):
         u = jnp.asarray(self.config.u_vector)
         return jnp.stack([u[i1], u[i2], u[i3]])
 
+    def values_6d(self) -> np.ndarray:
+        """HOST-side state-shaped view of the values.
+
+        Envelope-scale solves (>8M cells) return the value table in the
+        flat (rows, lanes) device layout — reshaping to 6-D ON DEVICE
+        materializes ~8x tile padding on the small trailing dims (the old
+        envelope wall); as a numpy reshape it is free."""
+        return np.asarray(self.result.values).reshape(self.grid.shape)
+
+    def argmin_6d(self) -> np.ndarray:
+        """HOST-side state-shaped view of the flat-action argmin."""
+        return np.asarray(self.result.argmin).reshape(self.grid.shape)
+
 
 # past this many cells the one-shot flat build's transients (~12 table-
 # sized arrays live inside one jit) exhaust HBM — chunk over row blocks
@@ -797,9 +810,16 @@ def solve_full(
         # envelope wall; small grids keep int32 (bitwise-stable goldens)
         adt = policy_dtype_for(int(plan.query_shape[-1])) \
             if cells > 8_000_000 else jnp.int32
+        # big solves also run in padded-carry mode: the scan carry IS the
+        # kernel's padded table (no per-sweep pad/slice copies) and the
+        # result arrays stay FLAT (rows, lanes) across the jit boundary —
+        # a 6-D output with small trailing dims pays ~8x TPU tile padding,
+        # which (not the sweeps) was the round-4 439M-cell envelope wall.
+        # Use FullSolution.values_6d()/argmin_6d() for host-side 6-D views.
         backup = build_pallas_backup_6d(plan, cost,
                                         consume_plan=plan_is_flat(plan),
-                                        argmin_dtype=adt)
+                                        argmin_dtype=adt,
+                                        carry_padded=cells > 8_000_000)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 

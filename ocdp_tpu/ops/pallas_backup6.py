@@ -466,7 +466,9 @@ class PallasBackup6D:
                  consume_plan: bool = False, argmin_dtype=jnp.int32,
                  device_build: bool | None = None,
                  live_sets: tuple | None = None,
-                 cost_act_traced: bool = False):
+                 cost_act_traced: bool = False,
+                 carry_padded: bool = False,
+                 digit_slice: int | None = None):
         d = plan.ndim
         q_shape = plan.query_shape
         # in-kernel-recomputed lane queries (RecomputePlan): no lane plan
@@ -663,7 +665,36 @@ class PallasBackup6D:
         # tap axes one digit at a time: 3*digits^(axes) FMAs instead of
         # actions * row_combos (243 vs 729 at 27 actions).
         self.action_digits = None
-        if nr >= 1 and live_sets is None:
+        self.digit_slice = None
+        if digit_slice is not None:
+            # This kernel computes ONE fixed-d0 digit slice of a digit-
+            # factorized action set (A_full = m^3, this slice = m^2 actions
+            # with digits (d0, *, *)) — the action-sharded halo6 engine's
+            # per-group kernel. The factorized contraction's B/C partials
+            # depend only on digits 1..2, so running it here (local d0 = 0
+            # maps to column 0 — correct: axis-0 columns are all equal
+            # within a slice) reproduces the full single-chip kernel's
+            # per-action rounding BITWISE (the generic per-combo order does
+            # not — measured ~4e-7 rel).
+            if nr != 3:
+                raise ValueError("digit_slice requires 3 row axes")
+            m = int(digit_slice)
+            if self.n_actions != m * m:
+                raise ValueError(
+                    f"digit_slice m={m} does not match "
+                    f"{self.n_actions} actions")
+            for arrs in (w_off, w_frac):
+                if not np.all(np.asarray(arrs[0])
+                              == np.asarray(arrs[0])[:, :1]):
+                    raise ValueError(
+                        "digit_slice: axis-0 queries vary within the slice "
+                        "(digit 0 is supposed to be fixed)")
+            if self._detect_action_digits(w_off[1:], w_frac[1:], 2) != m:
+                raise ValueError(
+                    "digit_slice: axes 1-2 are not digit-factorized")
+            self.action_digits = m
+            self.digit_slice = m
+        elif nr >= 1 and live_sets is None:
             # (under live_sets the digit decision could differ per problem
             # — e.g. edge-padded action columns break it — so EP-stacked
             # backups uniformly use the generic action phase)
@@ -852,6 +883,41 @@ class PallasBackup6D:
         aligned_max = ((self.d_max + self.pad_top) // 8) * 8
         self.pad_bot = max(aligned_max + 8 - self.pad_top, 0)
 
+        self.carry_padded = bool(carry_padded)
+        if self.carry_padded:
+            # Padded-carry mode: the engine's scan carry IS the padded
+            # (pad_top + NWp + pad_bot, NEp) table and the kernel writes
+            # the NEXT padded table directly (pad tiles emit zeros, rows
+            # past NW are re-zeroed so edge-arg garbage cannot compound
+            # across sweeps under expansive extrapolation weights). The
+            # per-sweep jnp.pad copy — 4 B/cell of extra peak HBM, ~2 GB
+            # at the 512M-cell scale — never exists; this is the envelope
+            # lever past the 439M-cell wall. Pads round up to whole row
+            # tiles so every output tile is purely real or purely pad, and
+            # pad_top stays a multiple of 8 so the aligned-slice row math
+            # shifts exactly (see aligned_rem).
+            if row_tile % 8:
+                raise ValueError("carry_padded requires 8-aligned row_tile")
+            self.pad_top = _round_up(self.pad_top, row_tile)
+            aligned_max = ((self.d_max + self.pad_top) // 8) * 8
+            self.pad_bot = _round_up(max(aligned_max + 8 - self.pad_top, 0),
+                                     row_tile)
+
+            def repad(a):
+                a = jnp.asarray(a)
+                top = jnp.broadcast_to(a[:1], (self.pad_top,) + a.shape[1:])
+                bot = jnp.broadcast_to(a[-1:], (self.pad_bot,) + a.shape[1:])
+                return jnp.concatenate([top, a, bot], 0)
+
+            # per-row sweep inputs gain the same top/bot pad rows so arg
+            # tiles stay 1:1 with output tiles (content is edge-duplicated;
+            # pad tiles never read it — they are predicated off)
+            for f in ("w_off_j", "w_frac_j", "e_off_j", "e_frac_j",
+                      "lane_rf_j", "c_rowact_j", "c_rowlane_j"):
+                setattr(self, f,
+                        tuple(repad(a) for a in getattr(self, f)))
+            self.c_row_j = repad(self.c_row_j)
+
     @staticmethod
     def _detect_action_digits(w_off, w_frac, nr):
         """Detect a C-order digit decomposition A = m^nr where row axis k's
@@ -876,7 +942,7 @@ class PallasBackup6D:
         return min(len(self.row_deltas), 2 * self.row_delta_group)
 
     # ------------------------------------------------------------- kernel
-    def _kernel(self, hbm, v_ref, *refs):
+    def _kernel(self, hbm, carry, v_ref, *refs):
         nr, nc = len(self.w_off_j), len(self.e_off_j)
         it = iter(refs)
         w_off = [next(it) for _ in range(nr)]
@@ -905,173 +971,218 @@ class PallasBackup6D:
         # with scratch staging is the shape that both compiles (~90s) and
         # runs.
 
-        if self.lane_rec_meta is not None:
-            # lane-recompute mode: regenerate each lane axis's (off, frac)
-            # for this row tile from the per-row/per-lane features — the
-            # quaternion-step/readback math runs ONCE per tile, shared by
-            # every action and row shift; 24 B/cell of stored plan never
-            # exists (see LaneRecompute). Same fn + locate as the liveness
-            # pass — measured bit-identical across the XLA and Mosaic
-            # lowerings of kernelmath's trig on this toolchain.
-            fn, starts, steps, sizes, edge = self.lane_rec_meta
-            nc = len(sizes)
-            coords = fn([r[...] for r in rf], [f[0:1, :] for f in lf])
-            e_off, e_frac = [], []
-            for k, c in enumerate(coords):
-                lo, frv = _affine_locate(c, starts[k], steps[k], sizes[k],
-                                         edge)
-                iota = (jax.lax.broadcasted_iota(jnp.int32, (T, NE), 1)
-                        // self.lane_axis_strides[k]) % sizes[k]
-                e_off.append(lo - iota)
-                e_frac.append(frv)
-            e_w = []
-            for k in range(nc):
+        def compute():
+            if self.lane_rec_meta is not None:
+                # lane-recompute mode: regenerate each lane axis's (off, frac)
+                # for this row tile from the per-row/per-lane features — the
+                # quaternion-step/readback math runs ONCE per tile, shared by
+                # every action and row shift; 24 B/cell of stored plan never
+                # exists (see LaneRecompute). Same fn + locate as the liveness
+                # pass — measured bit-identical across the XLA and Mosaic
+                # lowerings of kernelmath's trig on this toolchain.
+                fn, starts, steps, sizes, edge = self.lane_rec_meta
+                # the enclosing nc counts e_off_j REFS (zero in recompute
+                # mode — no stored lane arrays); the true lane-axis count
+                # lives in the spec. Kept branch-local: compute() must not
+                # shadow the enclosing names.
+                nc_r = len(sizes)
+                coords = fn([r[...] for r in rf], [f[0:1, :] for f in lf])
+                # rec-branch locals (e_off/e_frac name the enclosing
+                # _kernel refs, which compute() must not shadow)
+                e_off_r, e_frac_r = [], []
+                for k, c in enumerate(coords):
+                    lo, frv = _affine_locate(c, starts[k], steps[k], sizes[k],
+                                             edge)
+                    iota = (jax.lax.broadcasted_iota(jnp.int32, (T, NE), 1)
+                            // self.lane_axis_strides[k]) % sizes[k]
+                    e_off_r.append(lo - iota)
+                    e_frac_r.append(frv)
+                e_w = []
+                for k in range(nc_r):
+                    ws = {}
+                    for t in self.e_taps[k]:
+                        ws[t] = jnp.where(e_off_r[k] == t,
+                                          1.0 - e_frac_r[k], 0.0) \
+                            + jnp.where(e_off_r[k] == t - 1,
+                                        e_frac_r[k], 0.0)
+                    e_w.append(ws)
+            else:
+                # per-axis lane tap weights, shared across combos/passes
+                e_w = []
+                for k in range(nc):
+                    ws = {}
+                    off, fr = e_off[k][...], e_frac[k][...]
+                    for t in self.e_taps[k]:
+                        ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
+                            + jnp.where(off == t - 1, fr, 0.0)
+                    e_w.append(ws)
+
+            if self.lane_separable:
+                # stage the per-axis weights in scratch (each is reused by
+                # every row shift); slot map axis k, tap t -> we_scr row
+                e_slot = []
+                slot = 0
+                for k in range(nc):
+                    ws = {}
+                    for t in self.e_taps[k]:
+                        we_scr[slot, :, :] = e_w[k][t]
+                        ws[t] = slot
+                        slot += 1
+                    e_slot.append(ws)
+            else:
+                # we_scr[i] = joint lane-combo weight product. Joint combos are
+                # REQUIRED when a lane axis's frac depends on the other lane
+                # axes (the attitude Euler queries): a separable pass would
+                # evaluate axis k's weight at the other axes' SHIFTED cells —
+                # measured 8e-4 deviation from the oracle, a different
+                # operator, not rounding.
+                for i, combo in enumerate(self.lane_combos):
+                    w = None
+                    for k, t in enumerate(combo):
+                        w = e_w[k][t] if w is None else w * e_w[k][t]
+                    we_scr[i, :, :] = w
+
+            # a_scr[j] = lane-interpolated value rows for each flat row shift.
+            # Separable plans run one lerp pass per lane axis (sum over that
+            # axis's taps of weight * lane-roll by tap*stride) — O(sum taps)
+            # ~ 6 FMA+roll per row shift instead of O(prod taps) joint combos;
+            # exact because each axis's weights depend only on its own digit
+            # (+ rows), so shifted intermediates carry the right weights. The
+            # flat-shift zero-weight trick holds per axis (a live tap keeps
+            # every digit in range), so pad/cross-boundary rolls only pair
+            # with zero weights at real lanes. Passes stage through a_scr[j]
+            # to bound Mosaic live ranges. Coupled plans (attitude) keep the
+            # joint-combo accumulate, processed in row-shift PAIRS so each
+            # we_scr slot is read once per pair (halves the dominant scratch
+            # traffic).
+            nj = len(self.row_deltas)
+            G = self.row_delta_group
+
+            def aligned_rem(j):
+                shift = self.row_deltas[j] + self.pad_top
+                aligned = (shift // 8) * 8
+                if carry:
+                    # carry coords: the tile's table row == its output row,
+                    # so the pad_top bias drops out (pad_top % 8 == 0 keeps
+                    # the slice 8-aligned and rem unchanged)
+                    aligned -= self.pad_top
+                return aligned, shift % 8
+
+            if hbm:
+                # Table in HBM: each tap window is DMA'd into a VMEM slot; the
+                # NEXT group's windows prefetch while the current one computes
+                # (the 27-lane-delta accumulate is ample cover for a
+                # (T+8, NEp) copy).
+                nslots = self._win_slots()
+
+                def win_dma(j):
+                    aligned, _ = aligned_rem(j)
+                    return pltpu.make_async_copy(
+                        v_ref.at[pl.ds(row0 + aligned, T + 8), :],
+                        win_scr.at[j % nslots],
+                        win_sem.at[j % nslots])
+
+                for j in range(min(G, nj)):
+                    win_dma(j).start()
+
+            def load_rows(j):
+                aligned, rem = aligned_rem(j)
+                if hbm:
+                    win_dma(j).wait()
+                    sub = win_scr[j % nslots, :, :]
+                else:
+                    sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
+                return pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
+                    else sub[:T, :]
+
+            for j0 in range(0, nj, G):
+                group = range(j0, min(j0 + G, nj))
+                if hbm:
+                    for j in range(j0 + G, min(j0 + 2 * G, nj)):
+                        win_dma(j).start()
+                rows_g = [load_rows(j) for j in group]
+                if self.lane_separable:
+                    for gi, j in enumerate(group):
+                        cur = rows_g[gi]
+                        if nc == 0:
+                            a_scr[j, :, :] = cur
+                            continue
+                        for k in range(nc - 1, -1, -1):  # innermost first
+                            stride = self.lane_axis_strides[k]
+                            acc = None
+                            for t in self.e_taps[k]:
+                                dl = (t * stride) % NE
+                                sh = pltpu.roll(cur, (-t * stride) % NE, 1) \
+                                    if dl else cur
+                                term = we_scr[e_slot[k][t], :, :] * sh
+                                acc = term if acc is None else acc + term
+                            a_scr[j, :, :] = acc
+                            cur = a_scr[j, :, :]
+                else:
+                    accs = [None] * len(rows_g)
+                    for i, dlane in enumerate(self.lane_deltas):
+                        w = we_scr[i, :, :]
+                        for gi, rows in enumerate(rows_g):
+                            lane = pltpu.roll(rows, (-dlane) % NE, 1) \
+                                if dlane % NE else rows
+                            term = w * lane
+                            accs[gi] = term if accs[gi] is None \
+                                else accs[gi] + term
+                    for gi, j in enumerate(group):
+                        a_scr[j, :, :] = accs[gi]
+
+            # per-axis row tap weights: (T, n_actions) each
+            w_w = []
+            for k in range(nr):
                 ws = {}
-                for t in self.e_taps[k]:
-                    ws[t] = jnp.where(e_off[k] == t, 1.0 - e_frac[k], 0.0) \
-                        + jnp.where(e_off[k] == t - 1, e_frac[k], 0.0)
-                e_w.append(ws)
-        else:
-            # per-axis lane tap weights, shared across combos/passes
-            e_w = []
-            for k in range(nc):
-                ws = {}
-                off, fr = e_off[k][...], e_frac[k][...]
-                for t in self.e_taps[k]:
+                off, fr = w_off[k][...], w_frac[k][...]
+                for t in self.w_taps[k]:
                     ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
                         + jnp.where(off == t - 1, fr, 0.0)
-                e_w.append(ws)
+                w_w.append(ws)
 
-        if self.lane_separable:
-            # stage the per-axis weights in scratch (each is reused by
-            # every row shift); slot map axis k, tap t -> we_scr row
-            e_slot = []
-            slot = 0
-            for k in range(nc):
-                ws = {}
-                for t in self.e_taps[k]:
-                    we_scr[slot, :, :] = e_w[k][t]
-                    ws[t] = slot
-                    slot += 1
-                e_slot.append(ws)
-        else:
-            # we_scr[i] = joint lane-combo weight product. Joint combos are
-            # REQUIRED when a lane axis's frac depends on the other lane
-            # axes (the attitude Euler queries): a separable pass would
-            # evaluate axis k's weight at the other axes' SHIFTED cells —
-            # measured 8e-4 deviation from the oracle, a different
-            # operator, not rounding.
-            for i, combo in enumerate(self.lane_combos):
-                w = None
-                for k, t in enumerate(combo):
-                    w = e_w[k][t] if w is None else w * e_w[k][t]
-                we_scr[i, :, :] = w
-
-        # a_scr[j] = lane-interpolated value rows for each flat row shift.
-        # Separable plans run one lerp pass per lane axis (sum over that
-        # axis's taps of weight * lane-roll by tap*stride) — O(sum taps)
-        # ~ 6 FMA+roll per row shift instead of O(prod taps) joint combos;
-        # exact because each axis's weights depend only on its own digit
-        # (+ rows), so shifted intermediates carry the right weights. The
-        # flat-shift zero-weight trick holds per axis (a live tap keeps
-        # every digit in range), so pad/cross-boundary rolls only pair
-        # with zero weights at real lanes. Passes stage through a_scr[j]
-        # to bound Mosaic live ranges. Coupled plans (attitude) keep the
-        # joint-combo accumulate, processed in row-shift PAIRS so each
-        # we_scr slot is read once per pair (halves the dominant scratch
-        # traffic).
-        nj = len(self.row_deltas)
-        G = self.row_delta_group
-
-        def aligned_rem(j):
-            shift = self.row_deltas[j] + self.pad_top
-            return (shift // 8) * 8, shift % 8
-
-        if hbm:
-            # Table in HBM: each tap window is DMA'd into a VMEM slot; the
-            # NEXT group's windows prefetch while the current one computes
-            # (the 27-lane-delta accumulate is ample cover for a
-            # (T+8, NEp) copy).
-            nslots = self._win_slots()
-
-            def win_dma(j):
-                aligned, _ = aligned_rem(j)
-                return pltpu.make_async_copy(
-                    v_ref.at[pl.ds(row0 + aligned, T + 8), :],
-                    win_scr.at[j % nslots],
-                    win_sem.at[j % nslots])
-
-            for j in range(min(G, nj)):
-                win_dma(j).start()
-
-        def load_rows(j):
-            aligned, rem = aligned_rem(j)
-            if hbm:
-                win_dma(j).wait()
-                sub = win_scr[j % nslots, :, :]
+            if self.action_digits and nr == 3:
+                best_v, best_a = self._action_phase_factorized(w_w, a_scr, bc_scr,
+                                                               T, NE, c_ra)
             else:
-                sub = v_ref[pl.ds(row0 + aligned, T + 8), :]
-            return pltpu.roll(sub, (T + 8) - rem, 0)[:T, :] if rem \
-                else sub[:T, :]
+                best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr,
+                                                            c_ra)
+            vals_out = best_v + c_row[...] + c_lane[0:1, :] \
+                + (c_rl[...] if c_rl is not None else 0.0)
+            if carry and self.NWp != self.NW:
+                # rows past NW hold edge-duplicated-arg garbage; in carry
+                # mode they persist sweep-to-sweep and extrapolation
+                # weights can be expansive (|1-f|+|f| > 1), so unzeroed
+                # garbage would compound to inf and poison real rows
+                # through 0-weight taps (0 * inf = NaN). Re-zero each sweep.
+                riota = jax.lax.broadcasted_iota(jnp.int32, (T, NE), 0) \
+                    + (row0 - self.pad_top)
+                rmask = riota < self.NW
+                vals_out = jnp.where(rmask, vals_out, 0.0)
+                best_a = jnp.where(rmask, best_a, 0)
+            out_v[:, :] = vals_out
+            # argmin is written in the (possibly narrow) argmin_dtype — at
+            # envelope grids the int32 per-sweep output alone is GBs (the
+            # round-3 262M-cell OOM); uint8 at <= 256 actions quarters it
+            out_a[:, :] = best_a.astype(self.argmin_dtype)
 
-        for j0 in range(0, nj, G):
-            group = range(j0, min(j0 + G, nj))
-            if hbm:
-                for j in range(j0 + G, min(j0 + 2 * G, nj)):
-                    win_dma(j).start()
-            rows_g = [load_rows(j) for j in group]
-            if self.lane_separable:
-                for gi, j in enumerate(group):
-                    cur = rows_g[gi]
-                    if nc == 0:
-                        a_scr[j, :, :] = cur
-                        continue
-                    for k in range(nc - 1, -1, -1):  # innermost first
-                        stride = self.lane_axis_strides[k]
-                        acc = None
-                        for t in self.e_taps[k]:
-                            dl = (t * stride) % NE
-                            sh = pltpu.roll(cur, (-t * stride) % NE, 1) \
-                                if dl else cur
-                            term = we_scr[e_slot[k][t], :, :] * sh
-                            acc = term if acc is None else acc + term
-                        a_scr[j, :, :] = acc
-                        cur = a_scr[j, :, :]
-            else:
-                accs = [None] * len(rows_g)
-                for i, dlane in enumerate(self.lane_deltas):
-                    w = we_scr[i, :, :]
-                    for gi, rows in enumerate(rows_g):
-                        lane = pltpu.roll(rows, (-dlane) % NE, 1) \
-                            if dlane % NE else rows
-                        term = w * lane
-                        accs[gi] = term if accs[gi] is None \
-                            else accs[gi] + term
-                for gi, j in enumerate(group):
-                    a_scr[j, :, :] = accs[gi]
+        if not carry:
+            compute()
+            return
+        # padded-carry dispatch: tiles are purely real or purely pad
+        # (pads are rounded to whole row tiles); pad tiles only zero
+        # their outputs — they never read the table, whose bounds the
+        # real tiles' aligned windows already cover
+        nt_top = self.pad_top // T
+        i0 = pl.program_id(0)
+        is_real = jnp.logical_and(i0 >= nt_top,
+                                  i0 < nt_top + self.NWp // T)
+        pl.when(is_real)(compute)
 
-        # per-axis row tap weights: (T, n_actions) each
-        w_w = []
-        for k in range(nr):
-            ws = {}
-            off, fr = w_off[k][...], w_frac[k][...]
-            for t in self.w_taps[k]:
-                ws[t] = jnp.where(off == t, 1.0 - fr, 0.0) \
-                    + jnp.where(off == t - 1, fr, 0.0)
-            w_w.append(ws)
-
-        if self.action_digits and nr == 3:
-            best_v, best_a = self._action_phase_factorized(w_w, a_scr, bc_scr,
-                                                           T, NE, c_ra)
-        else:
-            best_v, best_a = self._action_phase_generic(w_w, a_scr, T, NE, nr,
-                                                        c_ra)
-        out_v[:, :] = best_v + c_row[...] + c_lane[0:1, :] \
-            + (c_rl[...] if c_rl is not None else 0.0)
-        # argmin is written in the (possibly narrow) argmin_dtype — at
-        # envelope grids the int32 per-sweep output alone is GBs (the
-        # round-3 262M-cell OOM); uint8 at <= 256 actions quarters it
-        out_a[:, :] = best_a.astype(self.argmin_dtype)
+        @pl.when(jnp.logical_not(is_real))
+        def _zero_pad_tile():
+            out_v[:, :] = jnp.zeros((T, NE), jnp.float32)
+            out_a[:, :] = jnp.zeros((T, NE), self.argmin_dtype)
 
     def _action_phase_generic(self, w_w, a_scr, T, NE, nr, c_ra=None):
         """27 actions x |row_combos| accumulation (any action structure)."""
@@ -1208,7 +1319,8 @@ class PallasBackup6D:
                    "lane_separable", "d_min", "d_max",
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
                    "action_digits", "row_delta_group", "table_hbm",
-                   "argmin_dtype", "lane_rec_meta")
+                   "argmin_dtype", "lane_rec_meta", "carry_padded",
+                   "digit_slice")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),
@@ -1240,13 +1352,18 @@ class PallasBackup6D:
         (lane feature vectors + c_lane) — sharded engines replicate these."""
         return 1 + len(self.lane_lf_j)
 
-    def _sweep_padded(self, v2p: jax.Array, args, nwp: int):
+    def _sweep_padded(self, v2p: jax.Array, args, nwp: int,
+                      carry: bool = False):
         """One backup sweep over ``nwp`` (padded) output rows.
 
         ``v2p`` is the (pad_top + nwp + pad_bot, NEp) padded value window;
         ``args`` are (local slices of) :attr:`sweep_args` with ``nwp``
         rows each (``c_lane`` excepted). Returns ``(vals, argm)`` of shape
         (nwp, NEp) — callers slice/reshape.
+
+        ``carry``: padded-carry mode — ``nwp`` counts the FULL carry rows
+        (pad_top + NWp + pad_bot), args carry the same pad rows, and the
+        output IS the next sweep's ``v2p`` (pad tiles emit zeros).
         """
         import functools
 
@@ -1284,7 +1401,7 @@ class PallasBackup6D:
             ]
 
         return pl.pallas_call(
-            functools.partial(self._kernel, hbm),
+            functools.partial(self._kernel, hbm, carry),
             grid=grid,
             interpret=self.interpret,
             in_specs=in_specs,
@@ -1307,7 +1424,49 @@ class PallasBackup6D:
             ),
         )(v2p, *args)
 
+    # ---------------------------------------------- padded-carry surface
+    @property
+    def carry_rows(self) -> int:
+        """Row count of the padded-carry table (carry_padded mode)."""
+        return self.pad_top + self.NWp + self.pad_bot
+
+    def pad_carry(self, values: jax.Array) -> jax.Array:
+        """State-shaped values -> the initial padded carry table."""
+        v2 = values.reshape(self.NW, self.NE)
+        return jnp.pad(v2, ((self.pad_top,
+                             self.NWp - self.NW + self.pad_bot),
+                            (0, self.NEp - self.NE)))
+
+    def sweep_carry(self, v2p: jax.Array):
+        """One sweep in padded-carry mode: ``v2p -> (v2p', argmin_padded)``.
+
+        The returned values array IS the next sweep's carry (pad rows
+        re-zeroed in-kernel) — no per-sweep pad/slice copies, the envelope
+        lever past the 439M-cell single-chip wall (engine integration:
+        value_iteration_finite).
+        """
+        if not self.carry_padded:
+            raise ValueError("backup was not built with carry_padded=True")
+        return self._sweep_padded(v2p, self.sweep_args, self.carry_rows,
+                                  carry=True)
+
+    def unpad_values(self, v2p: jax.Array) -> jax.Array:
+        """Carry table -> FLAT (NW, NE) values. Deliberately NOT reshaped
+        to the d-D state shape: a d-D array with small trailing dims pays
+        ~8x TPU tile padding the moment it materializes as a jit OUTPUT —
+        measured: exactly this output buffer (not the sweep loop) was the
+        439M-cell round-4 envelope wall. Callers reshape on the HOST."""
+        return v2p[self.pad_top:self.pad_top + self.NW, :self.NE]
+
+    def unpad_argmin(self, argm: jax.Array) -> jax.Array:
+        return argm[self.pad_top:self.pad_top + self.NW, :self.NE]
+
     def __call__(self, values: jax.Array) -> BackupResult:
+        if self.carry_padded:
+            out = self.sweep_carry(self.pad_carry(values))
+            return BackupResult(
+                self.unpad_values(out[0]).reshape(self.state_shape),
+                self.unpad_argmin(out[1]).reshape(self.state_shape))
         # rows layout: [pad_top zeros; NW real; (NWp-NW)+pad_bot zeros]
         v2 = values.reshape(self.NW, self.NE)
         v2 = jnp.pad(v2, ((self.pad_top,

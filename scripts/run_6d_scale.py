@@ -42,8 +42,15 @@ def main():
     grid, plan, cost = attitude.build_full(cfg)
     t_plan = time.perf_counter() - t0
     t0 = time.perf_counter()
+    from ocdp_tpu.engine import policy_dtype_for
+
+    # envelope levers: narrow in-kernel argmin dtype (uint8 at 27 actions)
+    # + padded-carry sweeps (the scan carry IS the kernel's padded table —
+    # no per-sweep pad/slice copies); both bitwise vs the plain path
     bk = build_pallas_backup_6d(plan, cost,
-                                consume_plan=attitude.plan_is_flat(plan))
+                                consume_plan=attitude.plan_is_flat(plan),
+                                argmin_dtype=policy_dtype_for(27),
+                                carry_padded=True)
     t_kernel = time.perf_counter() - t0
     print(f"plan build {t_plan:.1f}s  kernel build {t_kernel:.1f}s "
           f"(table {bk.NWp}x{bk.NEp}, hbm={bk.table_hbm})", flush=True)

@@ -83,7 +83,8 @@ def _random_4d_problem(rng, couple_lanes):
     return grid, plan, terms, nexts, cost64
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", [pytest.param(i, marks=pytest.mark.slow)
+                                  if i >= 3 else i for i in range(6)])
 @pytest.mark.parametrize("couple_lanes", [False, True])
 def test_random_4d_rowlane_vs_float64_oracle(seed, couple_lanes):
     rng = np.random.default_rng(1000 + seed)

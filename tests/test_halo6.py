@@ -123,3 +123,62 @@ def test_halo6_converged_runs_to_cap_without_stop():
                                   np.asarray(fin.values))
     np.testing.assert_array_equal(np.asarray(got.argmin),
                                   np.asarray(fin.argmin))
+
+
+@pytest.mark.slow
+def test_halo6_2d_mesh_action_axis_bitwise():
+    """CP x TP composition (VERDICT r3 item 6): rows sharded over 's' AND
+    the 27-action contraction sharded over 'a' (3 groups of 9, rebuilt
+    with the union tap structure) — values AND argmin bitwise vs the
+    single-chip kernel (ascending-offset first-min combine)."""
+    grid, plan, cost = _problem(5, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_finite(
+        p_, c_, 5, store_policies=False, backup=b))(plan, cost, bk)
+    mesh = Mesh(np.array(jax.devices()[:6]).reshape(2, 3), ("s", "a"))
+    got = value_iteration_finite_halo6(plan, cost, 5, mesh, row_tile=8,
+                                       action_axis_name="a")
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+@pytest.mark.slow
+def test_halo6_2d_mesh_converged_matches_single_chip():
+    """Early-stopping engine on the 2-D mesh: identical stop sweep and
+    bitwise tables vs the single-chip converged solve."""
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.parallel import value_iteration_converged_halo6
+
+    grid, plan, cost = _problem(5, 4)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda p_, c_, b: value_iteration_converged(
+        p_, c_, 12, check_every=3, tol=1e12, backup=b))(plan, cost, bk)
+    assert bool(ref.converged)
+    mesh = Mesh(np.array(jax.devices()[:6]).reshape(2, 3), ("s", "a"))
+    got = value_iteration_converged_halo6(plan, cost, 12, mesh, row_tile=8,
+                                          check_every=3, tol=1e12,
+                                          action_axis_name="a")
+    assert bool(got.converged)
+    assert int(got.num_sweeps) == int(ref.num_sweeps)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_halo6_action_axis_indivisible_rejected():
+    grid, plan, cost = _problem(5, 4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("s", "a"))
+    with pytest.raises(ValueError, match="do not split"):
+        value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8,
+                                     action_axis_name="a")
+
+
+def test_halo6_rejects_carry_padded():
+    grid, plan, cost = _problem(5, 4)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    with pytest.raises(ValueError, match="carry_padded"):
+        value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8,
+                                     carry_padded=True)

@@ -347,3 +347,47 @@ def test_consume_plan_fast_lane():
     np.testing.assert_allclose(np.asarray(got.values),
                                np.asarray(ref.values), atol=3e-5 * scale)
     assert (np.asarray(got.argmin) == np.asarray(ref.argmin)).mean() > 0.999
+
+
+def test_carry_padded_bitwise():
+    """Padded-carry mode (round-4 envelope lever): the scan carry is the
+    kernel's padded table — single sweeps AND multi-sweep engine runs must
+    be bitwise the plain path (pad tiles re-zeroed, garbage rows past NW
+    re-zeroed each sweep so expansive extrapolation weights cannot
+    compound them to inf)."""
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.ops.interp import PlanShape
+
+    grid, plan, cost = _small_full()
+    bk0 = PallasBackup6D(plan, cost, interpret=True, argmin_dtype=jnp.uint8)
+    bk1 = PallasBackup6D(plan, cost, interpret=True, argmin_dtype=jnp.uint8,
+                         carry_padded=True)
+    assert bk1.NW < bk1.NWp          # the garbage-row mask is exercised
+    v = jax.random.uniform(jax.random.PRNGKey(3), grid.shape, jnp.float32)
+    r0, r1 = bk0(v), bk1(v)
+    np.testing.assert_array_equal(np.asarray(r0.values),
+                                  np.asarray(r1.values))
+    np.testing.assert_array_equal(np.asarray(r0.argmin),
+                                  np.asarray(r1.argmin))
+
+    ps = PlanShape.of(plan)
+    e0 = value_iteration_finite(ps, None, 6, store_policies=False,
+                                backup=bk0)
+    e1 = value_iteration_finite(ps, None, 6, store_policies=False,
+                                backup=bk1)
+    np.testing.assert_array_equal(np.asarray(e0.values),
+                                  np.asarray(e1.values))
+    np.testing.assert_array_equal(np.asarray(e0.argmin),
+                                  np.asarray(e1.argmin))
+
+
+def test_carry_padded_rejects_probe_window():
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.ops.interp import PlanShape
+
+    grid, plan, cost = _small_full(nw=5, nq=4)
+    bk = PallasBackup6D(plan, cost, interpret=True, carry_padded=True)
+    with pytest.raises(ValueError, match="probe_window"):
+        value_iteration_finite(PlanShape.of(plan), None, 2,
+                               store_policies=False, backup=bk,
+                               probe_window=((0, 2),) * 6)
