@@ -101,6 +101,7 @@ def value_iteration_finite(
     policy_dtype=None,
     backup=None,
     probe_window=None,
+    narrow_argmin_result: bool = False,
 ) -> SolveResult:
     """Run exactly ``num_sweeps`` Bellman backups (finite-horizon DP).
 
@@ -163,7 +164,11 @@ def value_iteration_finite(
         # OUTPUT (the 439M-cell envelope wall was this buffer, not the
         # sweeps). Small non-flat problems keep the state shape.
         values = backup.unpad_values(v2p)
-        argmin = backup.unpad_argmin(argm).astype(jnp.int32)
+        argmin = backup.unpad_argmin(argm)
+        if not narrow_argmin_result:
+            # SolveResult contract is int32; envelope callers opt out —
+            # the int32 OUTPUT buffer alone is 3.5 GB at 884M cells
+            argmin = argmin.astype(jnp.int32)
         flat_plan = len(plan.query_shape) != plan.ndim + 1
         if not flat_plan:
             values = values.reshape(state_shape)

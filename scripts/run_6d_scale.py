@@ -60,8 +60,11 @@ def main():
 
     plan, cost = PlanShape.of(plan), None
 
+    # narrow_argmin_result: the int32 argmin OUTPUT buffer alone is
+    # ~3.5 GB at 884M cells — keep the kernel's uint8 across the boundary
     fn = jax.jit(lambda p_, c_, b: value_iteration_finite(
-        p_, c_, sweeps, store_policies=False, backup=b))
+        p_, c_, sweeps, store_policies=False, backup=b,
+        narrow_argmin_result=True))
 
     def run():
         t0 = time.perf_counter()

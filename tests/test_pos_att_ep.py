@@ -47,7 +47,9 @@ def test_union_backups_one_treedef_and_bitwise():
                                       np.asarray(r_uni.argmin))
 
 
-@pytest.mark.parametrize("include_failure", [True, False])
+@pytest.mark.parametrize("include_failure",
+                         [True, pytest.param(False,
+                                             marks=pytest.mark.slow)])
 def test_ep_matches_serial(include_failure):
     """EP == serial rowlane solve_channel, bitwise (values AND argmin)."""
     cfg = small_cfg()
@@ -67,6 +69,7 @@ def test_ep_matches_serial(include_failure):
         assert results[name]["converged"] == bool(res_ref.converged)
 
 
+@pytest.mark.slow
 def test_ep_close_to_gather_oracle():
     """The rowlane kernel EP rides differs from the gather oracle only by
     f32 summation order."""
