@@ -251,6 +251,72 @@ def value_iteration_converged(
 
     n_checks = max(max_sweeps // check_every, 1)
 
+    if getattr(backup, "carry_padded", False):
+        # padded-carry mode (see value_iteration_finite): the while_loop
+        # carry is the kernel's padded table. Checksums slice out the real
+        # (NW, NE) block — pad ROWS are re-zeroed in-kernel, but pad LANES
+        # hold finite duplicated-lane-0 garbage that must not reach the
+        # reference's errorF/errorU stop rule.
+        pt, nw, ne = backup.pad_top, backup.NW, backup.NE
+
+        def real_block(a):
+            return a[pt:pt + nw, :ne]
+
+        def cond_c(carry):
+            k_s, converged = carry[2], carry[4]
+            return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+
+        def body_c(carry):
+            v2p, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
+            v2p2, argm = backup.sweep_carry(v2p)
+            do_check = (k_s % check_every) == 0
+            fsum = jnp.sum(real_block(v2p2), dtype=jnp.float32)
+            usum = jnp.sum(real_block(argm).astype(jnp.float32),
+                           dtype=jnp.float32)
+            err_f = fsum - fsum_prev
+            err_u = usum - usum_prev
+            converged = jnp.logical_and(
+                do_check, convergence_stop(err_f, fsum, tol, tol_mode))
+
+            def record(args):
+                checks, c_idx = args
+                row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
+                if on_check is not None:
+                    jax.debug.callback(on_check, k_s, err_f, err_u)
+                return checks.at[c_idx].set(row), c_idx + 1
+
+            checks, c_idx = jax.lax.cond(do_check, record,
+                                         lambda args: args, (checks, c_idx))
+            fsum_prev = jnp.where(do_check, fsum, fsum_prev)
+            usum_prev = jnp.where(do_check, usum, usum_prev)
+            return (v2p2, argm, k_s - 1, (fsum_prev, usum_prev), converged,
+                    checks, c_idx)
+
+        init_c = (
+            backup.pad_carry(v),
+            jnp.zeros((backup.carry_rows, backup.NEp), adt),
+            jnp.asarray(max_sweeps, jnp.int32),
+            (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
+            jnp.asarray(False),
+            jnp.zeros((n_checks, 3), jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        v2p, argm, k_s, _, converged, checks, _ = jax.lax.while_loop(
+            cond_c, body_c, init_c)
+        values = backup.unpad_values(v2p)
+        argmin = backup.unpad_argmin(argm).astype(jnp.int32)
+        if len(plan.query_shape) == plan.ndim + 1:   # non-flat plan
+            values = values.reshape(state_shape)
+            argmin = argmin.reshape(state_shape)
+        return SolveResult(
+            values=values,
+            argmin=argmin,
+            policies=None,
+            num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
+            converged=converged,
+            checks=checks,
+        )
+
     def cond(carry):
         k_s, converged = carry[2], carry[4]
         return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
