@@ -182,3 +182,23 @@ def test_halo6_rejects_carry_padded():
     with pytest.raises(ValueError, match="carry_padded"):
         value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8,
                                      carry_padded=True)
+
+
+@pytest.mark.slow
+def test_halo6_recompute_plan_matches_single_chip():
+    """Row sharding composed with the in-kernel Euler-locate recompute mode
+    (the envelope lane mode): bitwise vs the single-chip recompute kernel."""
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    grid, plan, cost = attitude.build_full(cfg, lane_mode="recompute",
+                                           flat=True)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda b: value_iteration_finite(
+        plan, None, 4, store_policies=False, backup=b))(bk)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("s",))
+    got = value_iteration_finite_halo6(plan, cost, 4, mesh, row_tile=8)
+    np.testing.assert_array_equal(
+        np.asarray(ref.values).reshape(-1),
+        np.asarray(got.values).reshape(-1))
+    np.testing.assert_array_equal(
+        np.asarray(ref.argmin).reshape(-1),
+        np.asarray(got.argmin).reshape(-1))
