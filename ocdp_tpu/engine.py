@@ -185,7 +185,8 @@ def value_iteration_finite(
     if store_policies:
         values, (policies, probes) = jax.lax.scan(sweep, v, None,
                                                   length=num_sweeps)
-        argmin = policies[-1].astype(jnp.int32)
+        argmin = policies[-1] if narrow_argmin_result \
+            else policies[-1].astype(jnp.int32)
     else:
         # keep only the last argmin; avoid stacking. The carry holds it in
         # the NARROW policy dtype (uint8 at <=256 actions) — at envelope
@@ -198,7 +199,11 @@ def value_iteration_finite(
         (values, argmin), probes = jax.lax.scan(
             sweep_last, (v, jnp.zeros(state_shape, pdt)), None, length=num_sweeps
         )
-        argmin = argmin.astype(jnp.int32)
+        # narrow_argmin_result is honored on EVERY finite path (not just
+        # padded-carry): the int32 output buffer alone is multi-GB at
+        # envelope grids, whichever engine mode carried the sweeps
+        if not narrow_argmin_result:
+            argmin = argmin.astype(jnp.int32)
         policies = None
     return SolveResult(
         values=values,
@@ -251,28 +256,21 @@ def value_iteration_converged(
 
     n_checks = max(max_sweeps // check_every, 1)
 
-    if getattr(backup, "carry_padded", False):
-        # padded-carry mode (see value_iteration_finite): the while_loop
-        # carry is the kernel's padded table. Checksums slice out the real
-        # (NW, NE) block — pad ROWS are re-zeroed in-kernel, but pad LANES
-        # hold finite duplicated-lane-0 garbage that must not reach the
-        # reference's errorF/errorU stop rule.
-        pt, nw, ne = backup.pad_top, backup.NW, backup.NE
-
-        def real_block(a):
-            return a[pt:pt + nw, :ne]
-
-        def cond_c(carry):
+    # one while_loop serves BOTH engine modes; only the sweep call, the
+    # checksum extraction, and the init/finalize differ (keeping the stop
+    # rule, check recording, and carry layout literally shared — they
+    # drifted apart once as hand-maintained copies)
+    def run_loop(sweep, fsum_of, usum_of, v0, a0):
+        def cond(carry):
             k_s, converged = carry[2], carry[4]
             return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
 
-        def body_c(carry):
-            v2p, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
-            v2p2, argm = backup.sweep_carry(v2p)
+        def body(carry):
+            vc, ac, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
+            v2, argm = sweep(vc, ac)
             do_check = (k_s % check_every) == 0
-            fsum = jnp.sum(real_block(v2p2), dtype=jnp.float32)
-            usum = jnp.sum(real_block(argm).astype(jnp.float32),
-                           dtype=jnp.float32)
+            fsum = fsum_of(v2)
+            usum = usum_of(argm)
             err_f = fsum - fsum_prev
             err_u = usum - usum_prev
             converged = jnp.logical_and(
@@ -289,77 +287,61 @@ def value_iteration_converged(
                                          lambda args: args, (checks, c_idx))
             fsum_prev = jnp.where(do_check, fsum, fsum_prev)
             usum_prev = jnp.where(do_check, usum, usum_prev)
-            return (v2p2, argm, k_s - 1, (fsum_prev, usum_prev), converged,
+            return (v2, argm, k_s - 1, (fsum_prev, usum_prev), converged,
                     checks, c_idx)
 
-        init_c = (
-            backup.pad_carry(v),
-            jnp.zeros((backup.carry_rows, backup.NEp), adt),
+        init = (
+            v0,
+            a0,
             jnp.asarray(max_sweeps, jnp.int32),
             (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
             jnp.asarray(False),
             jnp.zeros((n_checks, 3), jnp.float32),
             jnp.asarray(0, jnp.int32),
         )
-        v2p, argm, k_s, _, converged, checks, _ = jax.lax.while_loop(
-            cond_c, body_c, init_c)
+        vf, af, k_s, _, converged, checks, _ = jax.lax.while_loop(
+            cond, body, init)
+        return vf, af, k_s, converged, checks
+
+    if getattr(backup, "carry_padded", False):
+        # padded-carry mode (see value_iteration_finite): the while_loop
+        # carry is the kernel's padded table. Checksums slice out the real
+        # (NW, NE) block — pad ROWS are re-zeroed in-kernel, but pad LANES
+        # hold finite duplicated-lane-0 garbage that must not reach the
+        # reference's errorF/errorU stop rule.
+        pt, nw, ne = backup.pad_top, backup.NW, backup.NE
+
+        def real_block(a):
+            return a[pt:pt + nw, :ne]
+
+        v2p, argm, k_s, converged, checks = run_loop(
+            lambda vc, ac: backup.sweep_carry(vc),
+            lambda v2: jnp.sum(real_block(v2), dtype=jnp.float32),
+            lambda a2: jnp.sum(real_block(a2).astype(jnp.float32),
+                               dtype=jnp.float32),
+            backup.pad_carry(v),
+            jnp.zeros((backup.carry_rows, backup.NEp), adt))
         values = backup.unpad_values(v2p)
         argmin = backup.unpad_argmin(argm).astype(jnp.int32)
         if len(plan.query_shape) == plan.ndim + 1:   # non-flat plan
             values = values.reshape(state_shape)
             argmin = argmin.reshape(state_shape)
-        return SolveResult(
-            values=values,
-            argmin=argmin,
-            policies=None,
-            num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
-            converged=converged,
-            checks=checks,
-        )
+    else:
+        def plain_sweep(vc, ac):
+            res = backup(vc)
+            return res.values, res.argmin
 
-    def cond(carry):
-        k_s, converged = carry[2], carry[4]
-        return jnp.logical_and(k_s >= 1, jnp.logical_not(converged))
+        values, argmin, k_s, converged, checks = run_loop(
+            plain_sweep,
+            lambda v2: jnp.sum(v2, dtype=jnp.float32),
+            lambda a2: jnp.sum(a2, dtype=jnp.float32),
+            v,
+            jnp.zeros(state_shape, adt))
+        argmin = argmin.astype(jnp.int32)
 
-    def body(carry):
-        v, _, k_s, (fsum_prev, usum_prev), _, checks, c_idx = carry
-        res = backup(v)
-        do_check = (k_s % check_every) == 0
-        fsum = jnp.sum(res.values, dtype=jnp.float32)
-        usum = jnp.sum(res.argmin, dtype=jnp.float32)
-        err_f = fsum - fsum_prev
-        err_u = usum - usum_prev
-        converged = jnp.logical_and(
-            do_check, convergence_stop(err_f, fsum, tol, tol_mode))
-
-        def record(args):
-            checks, c_idx = args
-            row = jnp.stack([k_s.astype(jnp.float32), err_f, err_u])
-            if on_check is not None:
-                jax.debug.callback(on_check, k_s, err_f, err_u)
-            return checks.at[c_idx].set(row), c_idx + 1
-
-        checks, c_idx = jax.lax.cond(do_check, record,
-                                     lambda args: args, (checks, c_idx))
-        fsum_prev = jnp.where(do_check, fsum, fsum_prev)
-        usum_prev = jnp.where(do_check, usum, usum_prev)
-        return (res.values, res.argmin, k_s - 1, (fsum_prev, usum_prev),
-                converged, checks, c_idx)
-
-    init = (
-        v,
-        jnp.zeros(state_shape, adt),
-        jnp.asarray(max_sweeps, jnp.int32),
-        (jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32)),
-        jnp.asarray(False),
-        jnp.zeros((n_checks, 3), jnp.float32),
-        jnp.asarray(0, jnp.int32),
-    )
-    values, argmin, k_s, _, converged, checks, _ = jax.lax.while_loop(
-        cond, body, init)
     return SolveResult(
         values=values,
-        argmin=argmin.astype(jnp.int32),
+        argmin=argmin,
         policies=None,
         num_sweeps=jnp.asarray(max_sweeps, jnp.int32) - k_s,
         converged=converged,

@@ -283,9 +283,18 @@ class FullSolution(NamedTuple):
 
         Equivalent to the reference's nested-index composition
         U3(U2(U1)), U2(U1) (:290-292) — see ops/backup.py.
+
+        Envelope-scale solves (flat plans / padded-carry engine) hold
+        ``result.argmin`` in the flat (rows, lanes) device layout; it is
+        reshaped to the 6-D state shape here so ``rollout_full`` and the
+        nested-index decode see one layout regardless of scale. (The
+        reshape is an XLA view op, but note a 6-D DEVICE array with small
+        trailing dims pays ~8x tile padding in HBM — fine at rollout
+        scales, deliberate for billion-cell solves only via
+        ``values_6d()``/``argmin_6d()`` host views.)
         """
         nu = len(self.config.u_vector)
-        a = self.result.argmin
+        a = self.result.argmin.reshape(self.grid.shape)
         i1, rem = a // (nu * nu), a % (nu * nu)
         i2, i3 = rem // nu, rem % nu
         u = jnp.asarray(self.config.u_vector)

@@ -276,6 +276,14 @@ def build_ep_rowlane_backups(cfg: PosAttConfig, problems):
     taps carry exactly-zero weight, so each backup's output is unchanged
     (tested bitwise vs its own-structure build). The results stack leaf-
     by-leaf for :func:`solve_ep`'s single shard_mapped program.
+
+    The two-pass build (analysis pass, then union rebuild) is deliberate:
+    skipping the rebuild for a channel whose own sets already equal the
+    union would NOT guarantee a shared treedef, because the kernel's
+    digit-contraction decision is taken only when ``live_sets`` is absent
+    (pallas_backup6 ``__init__``) — a natural build and a ``live_sets=``
+    build with identical taps can still differ structurally. Build cost
+    is ~1 s total at channel scale, paid once per :func:`solve_ep`.
     """
     n_act = max(p.plan.query_shape[-1] for p in problems)
     first = [build_channel_rowlane_backup(cfg, p, n_act=n_act,

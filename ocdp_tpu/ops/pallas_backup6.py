@@ -836,7 +836,7 @@ class PallasBackup6D:
                 row_dep = any(s > 1 for s in t.shape[:nr])
                 lane_dep = any(s > 1 for s in t.shape[nr:d])
             act_dep = t.shape[-1] > 1
-            if (lane_dep and act_dep) or (row_dep and lane_dep and act_dep):
+            if lane_dep and act_dep:
                 raise ValueError(
                     "cost term couples the lane and action groups — "
                     "not factorizable for the 6-D kernel")

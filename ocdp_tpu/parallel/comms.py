@@ -25,9 +25,15 @@ def collective_permute_bytes(hlo_text: str) -> int:
 
     Parses each op's RESULT shape from its defining line — what XLA will
     actually put on the wire per execution, per participating device.
+    Counts BOTH the sync form (``collective-permute(`` — what the CPU
+    backend emits) and the async form XLA:TPU rewrites it into
+    (``collective-permute-start(``; its result is a tuple whose first
+    element is the payload, which is what the leading-shape parse picks
+    up). ``collective-permute-done`` carries no payload of its own and is
+    deliberately not matched — counting it would double every transfer.
     """
     total = 0
-    for m in re.finditer(r"collective-permute\(", hlo_text):
+    for m in re.finditer(r"collective-permute(?:-start)?\(", hlo_text):
         line_start = hlo_text.rfind("\n", 0, m.start()) + 1
         line = hlo_text[line_start:m.start()]
         shape = re.search(r"(f32|s32|u32|bf16|s16|f16|u8|s8|pred)"

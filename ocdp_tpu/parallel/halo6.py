@@ -119,18 +119,21 @@ def _build_actsharded(plan, cost_terms, n_dev_s: int, n_a: int, kernel_kw):
     # m == n_a (the attitude 27 = 3^3 over 3 devices), each group is a
     # fixed-d0 slice and runs the SAME factorized contraction as the
     # single-chip kernel — group outputs then match its rounding bitwise.
-    # Groups that fail the slice validation fall back to the generic order
-    # (still exact to ~ulp, no longer bitwise).
+    # EVERY group must validate (the layout checks can pass for slice 0
+    # yet fail for a later one, and the stacked leaves need one treedef);
+    # any failure falls back to the generic order for ALL groups (still
+    # exact to ~ulp, no longer bitwise). The successful validation pass
+    # IS the first build — no throwaway probe construction.
     digit_kw = {}
+    first = None
     if k == n_a * n_a:
         try:
-            probe = build(0, {"digit_slice": n_a})
+            first = [build(g, {"digit_slice": n_a}) for g in range(n_a)]
             digit_kw = {"digit_slice": n_a}
-            del probe
         except ValueError:
-            pass
-
-    first = [build(g, digit_kw) for g in range(n_a)]
+            first = None
+    if first is None:
+        first = [build(g, digit_kw) for g in range(n_a)]
     union = union_live_sets([b for b, _, _, _ in first])
     built = [build(g, dict(digit_kw, live_sets=union)) for g in range(n_a)]
     bks = [b for b, _, _, _ in built]
@@ -255,7 +258,9 @@ def value_iteration_finite_halo6(
                        out_specs=out_specs, check_vma=False)
     out = jax.jit(fn)(v0, *bk.sweep_args)
     values = out[0][:bk.NW, :bk.NE].reshape(bk.state_shape)
-    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    # SolveResult contract: int32 argmin (engine.py) — the kernel may emit
+    # a narrow argmin_dtype (uint8 envelope mode); match the 2-D twins
+    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape).astype(jnp.int32)
     policies = None
     if store_policies:
         policies = out[2][:, :bk.NW, :bk.NE].reshape(
@@ -518,7 +523,7 @@ def value_iteration_converged_halo6(
                        out_specs=out_specs, check_vma=False)
     out = jax.jit(fn)(v0, *bk.sweep_args)
     values = out[0][:bk.NW, :bk.NE].reshape(bk.state_shape)
-    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape)
+    argmin = out[1][:bk.NW, :bk.NE].reshape(bk.state_shape).astype(jnp.int32)
     return SolveResult(
         values=values,
         argmin=argmin,

@@ -19,7 +19,7 @@ import numpy as np
 
 from ocdp_tpu.engine import value_iteration_converged, value_iteration_finite
 from ocdp_tpu.models import attitude, pos_att
-from ocdp_tpu.ops.pallas_backup6 import PallasBackup6D, PermutedRowLaneBackup
+from ocdp_tpu.ops.pallas_backup6 import PallasBackup6D
 
 cpu = jax.local_devices(backend="cpu")[0]
 
@@ -79,16 +79,10 @@ def stage_rowlane():
     with jax.default_device(cpu):
         problem = pos_att.build_channel(cfg, "x")
     for hbm in (False, True):
-        ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
-        bk = PermutedRowLaneBackup(
-            problem.plan,
-            [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
-             cfg.Qv * ax[1][None, :, None, None, None] ** 2,
-             cfg.Qt * ax[2][None, None, :, None, None] ** 2,
-             cfg.Qw * ax[3][None, None, None, :, None] ** 2,
-             cfg.R * jnp.asarray((problem.forces ** 2).sum(axis=1),
-                                 jnp.float32)[None, None, None, None, :]],
-            perm=(1, 3, 0, 2), row_axes=2, table_hbm=hbm)
+        # the library builder owns the channel cost factorization and the
+        # (v, w, x, t) permutation — re-deriving them here would drift
+        bk = pos_att.build_channel_rowlane_backup(cfg, problem,
+                                                  table_hbm=hbm)
         fn = jax.jit(lambda p_, c_, b: value_iteration_converged(
             p_, c_, cfg.n_stage - 1, check_every=cfg.check_every,
             tol=cfg.tol, backup=b))

@@ -27,3 +27,14 @@ def test_collective_permute_parser():
   %y = u8[8,128]{1,0} collective-permute(%b), source_target_pairs={{1,0}}
 """
     assert collective_permute_bytes(hlo) == 16 * 128 * 4 + 8 * 128
+
+
+def test_collective_permute_parser_async_form():
+    # XLA:TPU rewrites sync permutes into -start/-done pairs in optimized
+    # HLO; the parser must count the start's payload (first tuple element)
+    # exactly once and ignore the payload-free -done op.
+    hlo = """
+  %cps = (f32[24,128]{1,0}, f32[24,128]{1,0}, u32[], u32[]) collective-permute-start(%a), source_target_pairs={{0,1},{1,0}}
+  %cpd = f32[24,128]{1,0} collective-permute-done(%cps)
+"""
+    assert collective_permute_bytes(hlo) == 24 * 128 * 4

@@ -30,6 +30,24 @@ def test_narrow_argmin_result_flag():
                                   np.asarray(r8.argmin, np.int32))
 
 
+def test_narrow_argmin_result_plain_path():
+    """narrow_argmin_result must also be honored when the backup is NOT
+    carry-padded — the non-carry scan otherwise silently re-widens to the
+    int32 buffer the flag exists to avoid."""
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    grid, plan, cost = attitude.build_full(cfg, flat=True)
+    bk = PallasBackup6D(plan, cost, interpret=True, argmin_dtype=jnp.uint8)
+    ps = PlanShape.of(plan)
+    r32 = value_iteration_finite(ps, None, 3, store_policies=False,
+                                 backup=bk)
+    r8 = value_iteration_finite(ps, None, 3, store_policies=False,
+                                backup=bk, narrow_argmin_result=True)
+    assert r32.argmin.dtype == jnp.int32
+    assert r8.argmin.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(r32.argmin),
+                                  np.asarray(r8.argmin, np.int32))
+
+
 def test_converged_carry_padded_bitwise():
     """The converged engine's padded-carry branch: identical stop sweep,
     checks log, values, argmin vs the plain backup path (the checksums

@@ -381,6 +381,30 @@ def test_carry_padded_bitwise():
                                   np.asarray(e1.argmin))
 
 
+def test_flat_carry_solution_u_tables_state_shaped():
+    """Envelope-mode solves (flat plan + padded carry) keep result arrays
+    in the flat (rows, lanes) layout — FullSolution.u_tables must still
+    come back (3, *state_shape) and match the plain-path decode, or
+    rollout_full breaks for every >8M-cell solve."""
+    from ocdp_tpu.engine import value_iteration_finite
+    from ocdp_tpu.models import attitude
+    from ocdp_tpu.ops.interp import PlanShape
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    grid, plan, cost = attitude.build_full(cfg, flat=True)
+    bk = PallasBackup6D(plan, cost, interpret=True, argmin_dtype=jnp.uint8,
+                        carry_padded=True)
+    res = value_iteration_finite(PlanShape.of(plan), None, 4,
+                                 store_policies=False, backup=bk,
+                                 narrow_argmin_result=True)
+    assert res.argmin.ndim == 2     # the flat device layout under test
+    sol = attitude.FullSolution(cfg, grid, res)
+    ut = np.asarray(sol.u_tables)
+    assert ut.shape == (3,) + grid.shape
+    ref = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
+    np.testing.assert_array_equal(ut, np.asarray(ref.u_tables))
+
+
 def test_carry_padded_rejects_probe_window():
     from ocdp_tpu.engine import value_iteration_finite
     from ocdp_tpu.ops.interp import PlanShape
