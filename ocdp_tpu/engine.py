@@ -67,7 +67,10 @@ def convergence_stop(err_f, fsum, tol: float, tol_mode: str = "abs"):
 
 class SolveResult(NamedTuple):
     values: jax.Array            # final value table V, state-grid shape
-    argmin: jax.Array            # int32 flat-action argmin of the LAST sweep
+    # flat-action argmin of the LAST sweep: int32 by default; engines called
+    # with narrow_argmin_result=True return the narrow policy dtype instead
+    # (uint8/int16 via policy_dtype_for — the envelope-scale output buffer)
+    argmin: jax.Array
     policies: Optional[jax.Array]  # (num_sweeps, *state_shape) or None
     num_sweeps: jax.Array        # actual sweeps performed (scalar int32)
     converged: jax.Array         # bool scalar (always False for finite driver)
@@ -102,6 +105,7 @@ def value_iteration_finite(
     backup=None,
     probe_window=None,
     narrow_argmin_result: bool = False,
+    on_sweep=None,
 ) -> SolveResult:
     """Run exactly ``num_sweeps`` Bellman backups (finite-horizon DP).
 
@@ -116,6 +120,17 @@ def value_iteration_finite(
     engine then captures that window of V after every sweep (the reference's
     ``checkstagesXJF`` probes, test/Dynamic_Solver.m:212-219) into
     ``SolveResult.probes``.
+
+    ``narrow_argmin_result``: return ``SolveResult.argmin`` in the narrow
+    policy dtype (uint8 at <= 256 actions) instead of widening to int32 —
+    the int32 OUTPUT buffer alone is multi-GB at envelope grids.
+
+    ``on_sweep(i)``: optional host callback fired after each sweep via
+    ``jax.debug.callback`` — the reference's per-stage
+    ``'step %d - %f seconds'`` print (test/Dynamic_Solver.m:87,101;
+    profiling.SweepTimer.on_sweep is the matching printer). Opt-in: the
+    host round-trip serializes the otherwise fully-fused scan, so library
+    callers stay silent and the CLI turns it on by default.
     """
     state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     if init_values is None:
@@ -138,8 +153,13 @@ def value_iteration_finite(
         sizes = tuple(n for _, n in probe_window)
         return jax.lax.dynamic_slice(values, starts, sizes)
 
-    def sweep(v, _):
+    def tick(i):
+        if on_sweep is not None:
+            jax.debug.callback(on_sweep, i)
+
+    def sweep(v, i):
         res = backup(v)
+        tick(i)
         out = res.argmin.astype(pdt) if store_policies else res.argmin
         return res.values, (out, probe(res.values))
 
@@ -152,13 +172,15 @@ def value_iteration_finite(
                              "backup (the carry is the padded table)")
         adt = backup.argmin_dtype
 
-        def sweep_carry(carry, _):
+        def sweep_carry(carry, i):
             v2p, _ = carry
-            return backup.sweep_carry(v2p), None
+            out = backup.sweep_carry(v2p)
+            tick(i)
+            return out, None
 
         a0 = jnp.zeros((backup.carry_rows, backup.NEp), adt)
         (v2p, argm), _ = jax.lax.scan(sweep_carry, (backup.pad_carry(v), a0),
-                                      None, length=num_sweeps)
+                                      jnp.arange(num_sweeps))
         # FLAT-plan results stay in the flat (rows, lanes) layout: a 6-D
         # array with small trailing dims pays ~8x TPU tile padding as a jit
         # OUTPUT (the 439M-cell envelope wall was this buffer, not the
@@ -183,21 +205,23 @@ def value_iteration_finite(
         )
 
     if store_policies:
-        values, (policies, probes) = jax.lax.scan(sweep, v, None,
-                                                  length=num_sweeps)
+        values, (policies, probes) = jax.lax.scan(sweep, v,
+                                                  jnp.arange(num_sweeps))
         argmin = policies[-1] if narrow_argmin_result \
             else policies[-1].astype(jnp.int32)
     else:
         # keep only the last argmin; avoid stacking. The carry holds it in
         # the NARROW policy dtype (uint8 at <=256 actions) — at envelope
         # grids the int32 double-buffered carry alone is ~2 GB of HBM.
-        def sweep_last(carry, _):
+        def sweep_last(carry, i):
             v, _ = carry
             res = backup(v)
+            tick(i)
             return (res.values, res.argmin.astype(pdt)), probe(res.values)
 
         (values, argmin), probes = jax.lax.scan(
-            sweep_last, (v, jnp.zeros(state_shape, pdt)), None, length=num_sweeps
+            sweep_last, (v, jnp.zeros(state_shape, pdt)),
+            jnp.arange(num_sweeps)
         )
         # narrow_argmin_result is honored on EVERY finite path (not just
         # padded-carry): the int32 output buffer alone is multi-GB at
@@ -226,6 +250,7 @@ def value_iteration_converged(
     init_values: Optional[jax.Array] = None,
     backup=None,
     on_check=None,
+    narrow_argmin_result: bool = False,
 ) -> SolveResult:
     """Value iteration with the reference's periodic-checksum early stop.
 
@@ -241,6 +266,11 @@ def value_iteration_converged(
     streamed to the host per check via ``jax.debug.callback`` with signature
     ``on_check(k_s, errorF, errorU)`` (the reference's
     'stage %d ... errorF %f - errorU %f' print).
+
+    ``narrow_argmin_result``: as in :func:`value_iteration_finite` — return
+    the argmin in the narrow policy dtype instead of int32, so
+    envelope-scale CONVERGED solves skip the multi-GB int32 output buffer
+    too (symmetry with the finite driver).
     """
     state_shape = plan.grid_shape   # == backup output shape (flat-plan safe)
     if init_values is None:
@@ -303,6 +333,8 @@ def value_iteration_converged(
             cond, body, init)
         return vf, af, k_s, converged, checks
 
+    pdt = (policy_dtype_for(plan.query_shape[-1]) if narrow_argmin_result
+           else jnp.int32)
     if getattr(backup, "carry_padded", False):
         # padded-carry mode (see value_iteration_finite): the while_loop
         # carry is the kernel's padded table. Checksums slice out the real
@@ -322,7 +354,7 @@ def value_iteration_converged(
             backup.pad_carry(v),
             jnp.zeros((backup.carry_rows, backup.NEp), adt))
         values = backup.unpad_values(v2p)
-        argmin = backup.unpad_argmin(argm).astype(jnp.int32)
+        argmin = backup.unpad_argmin(argm).astype(pdt)
         if len(plan.query_shape) == plan.ndim + 1:   # non-flat plan
             values = values.reshape(state_shape)
             argmin = argmin.reshape(state_shape)
@@ -337,7 +369,7 @@ def value_iteration_converged(
             lambda a2: jnp.sum(a2, dtype=jnp.float32),
             v,
             jnp.zeros(state_shape, adt))
-        argmin = argmin.astype(jnp.int32)
+        argmin = argmin.astype(pdt)
 
     return SolveResult(
         values=values,
@@ -363,6 +395,7 @@ def value_iteration_segmented(
     checkpoint_path: Optional[str] = None,
     checkpoint_axes=None,
     on_segment=None,
+    narrow_argmin_result: bool = False,
 ) -> SolveResult:
     """Finite-horizon solve in host-visible segments.
 
@@ -384,6 +417,18 @@ def value_iteration_segmented(
     progress logging — the reference prints per-stage timings,
     Dynamic_Solver.m:87,101).
 
+    Padded-carry backups (the flagship 6-D envelope mode) are supported:
+    each segment runs :func:`value_iteration_finite`'s padded-carry scan,
+    checkpoints hold the FLAT (rows, lanes) value table, and resumed
+    segments re-pad it (pads are zeros at every segment start AND after
+    every in-kernel sweep, and real cells never read pad lanes — per-axis
+    tap clamping — so the segmented solve is BITWISE the uninterrupted
+    one; tests/test_segmented.py pins this). ``store_policies`` is
+    incompatible with that mode; intermediate segments always return their
+    argmin in the narrow kernel dtype, ``narrow_argmin_result`` governing
+    only the final result (the multi-GB int32 widening happens at most
+    once, if at all).
+
     Returns a SolveResult whose ``policies`` (if stored) is a HOST numpy
     array of shape (num_sweeps - start_sweep, *state_shape).
     """
@@ -394,6 +439,11 @@ def value_iteration_segmented(
             np.iinfo(np.dtype(policy_dtype)).max < n_actions - 1:
         raise ValueError(
             f"policy_dtype {policy_dtype} cannot hold {n_actions} actions")
+    carry_padded = getattr(backup, "carry_padded", False)
+    if carry_padded and store_policies:
+        raise ValueError(
+            "store_policies is unsupported with a carry_padded backup "
+            "(per-sweep policy stacks defeat the envelope memory budget)")
     if init_values is None:
         v = jnp.zeros(plan.grid_shape, dtype=jnp.float32)
     else:
@@ -401,11 +451,11 @@ def value_iteration_segmented(
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("n", "store"))
-    def run_segment(v, n, store):
+    @partial(jax.jit, static_argnames=("n", "store", "narrow"))
+    def run_segment(v, n, store, narrow):
         return value_iteration_finite(
             plan, stage_cost, n, init_values=v, store_policies=store,
-            policy_dtype=pdt, backup=backup,
+            policy_dtype=pdt, backup=backup, narrow_argmin_result=narrow,
         )
 
     host_policies = [] if store_policies else None
@@ -413,7 +463,9 @@ def value_iteration_segmented(
     argmin = None
     while sweep < num_sweeps:
         n = min(segment_size, num_sweeps - sweep)
-        res = run_segment(v, n, store_policies)
+        last = sweep + n >= num_sweeps
+        narrow = narrow_argmin_result if last else carry_padded
+        res = run_segment(v, n, store_policies, narrow)
         v = res.values
         argmin = res.argmin
         if store_policies:

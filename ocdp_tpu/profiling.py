@@ -92,6 +92,17 @@ class SweepTimer:
                   f"errorF {float(err_f):.6f} - errorU {float(err_u):.6f}")
         self.last_t = now
 
+    def on_sweep(self, i) -> None:
+        """Finite-engine per-sweep callback: the reference's per-stage
+        'step %d - %f seconds' print (test/Dynamic_Solver.m:87,101).
+        Wire via ``value_iteration_finite(on_sweep=...)`` or a model
+        solve's ``verbose=`` flag."""
+        now = time.perf_counter()
+        if self.verbose:
+            print(f"step {int(i) + 1} - {now - self.last_t:.6f} seconds")
+        self.last_t = now
+        self.total_sweeps = int(i) + 1
+
     @property
     def sweeps_per_s(self) -> float:
         dt = max(self.last_t - self.t0, 1e-9)

@@ -39,3 +39,82 @@ def test_checkpoint_and_resume(tmp_path):
                                     init_values=v, start_sweep=sweep)
     np.testing.assert_array_equal(np.asarray(got.values), np.asarray(ref.values))
     np.testing.assert_array_equal(np.asarray(got.argmin), np.asarray(ref.argmin))
+
+
+def _envelope_backup(cfg):
+    """A padded-carry (envelope-mode) 6-D kernel on a flat plan + the
+    PlanShape stand-in — exactly what solve_full builds past 8M cells."""
+    from ocdp_tpu.models import attitude
+    from ocdp_tpu.ops.interp import PlanShape
+    from ocdp_tpu.ops.pallas_backup6 import build_pallas_backup_6d
+
+    grid, plan, cost = attitude.build_full(cfg, flat=True)
+    bk = build_pallas_backup_6d(plan, cost, carry_padded=True,
+                                argmin_dtype=np.uint8)
+    return grid, PlanShape.of(plan), bk
+
+
+def test_segmented_padded_carry_matches_oneshot():
+    """The envelope engine mode (padded-carry scan, flat results) must be
+    segmentable BITWISE: pads are zeros at every segment start and after
+    every in-kernel sweep, and real cells never read pad lanes (VERDICT r4
+    item 3 — checkpoint/resume at the scales where it matters)."""
+    import jax
+
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4, T_final=30.0,
+                                  w_min_deg=-50.0, w_max_deg=50.0)
+    grid, plan_shape, bk = _envelope_backup(cfg)
+    ref = jax.jit(lambda: value_iteration_finite(
+        plan_shape, None, 9, backup=bk, narrow_argmin_result=True))()
+    got = value_iteration_segmented(plan_shape, None, 9, segment_size=4,
+                                    backup=bk, narrow_argmin_result=True)
+    assert got.values.shape == ref.values.shape    # flat (rows, lanes)
+    assert got.argmin.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_segmented_padded_carry_kill_and_resume(tmp_path):
+    """Kill-and-resume on the envelope mode: checkpoint the flat table
+    mid-solve, resume from the npz in a FRESH segmented call, land bitwise
+    on the uninterrupted result."""
+    import jax
+
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4, T_final=30.0,
+                                  w_min_deg=-50.0, w_max_deg=50.0)
+    grid, plan_shape, bk = _envelope_backup(cfg)
+    ref = jax.jit(lambda: value_iteration_finite(
+        plan_shape, None, 11, backup=bk, narrow_argmin_result=True))()
+    ckpt = str(tmp_path / "envelope.npz")
+    value_iteration_segmented(plan_shape, None, 6, segment_size=3,
+                              backup=bk, checkpoint_path=ckpt,
+                              checkpoint_axes=grid.axes)   # "killed" here
+    v, sweep, axes = load_values(ckpt)
+    assert sweep == 6 and v.shape == ref.values.shape and len(axes) == 6
+    got = value_iteration_segmented(plan_shape, None, 11, segment_size=3,
+                                    backup=bk, init_values=v,
+                                    start_sweep=sweep,
+                                    narrow_argmin_result=True)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_segmented_padded_carry_rejects_policy_store():
+    import pytest
+
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4, T_final=30.0,
+                                  w_min_deg=-50.0, w_max_deg=50.0)
+    _, plan_shape, bk = _envelope_backup(cfg)
+    with pytest.raises(ValueError, match="store_policies"):
+        value_iteration_segmented(plan_shape, None, 4, backup=bk,
+                                  store_policies=True)
