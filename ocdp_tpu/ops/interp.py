@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,9 @@ import numpy as np
 
 __all__ = [
     "axis_locate",
+    "AffineAxes",
+    "affine_axes",
+    "nearest_cell_index",
     "InterpPlan",
     "build_plan",
     "interp_apply",
@@ -221,6 +224,105 @@ def nearest_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):
     for k in range(1, len(axes)):
         lin = lin + idx[k] * int(strides[k])
     return jnp.take(flat, lin)
+
+
+class AffineAxes(NamedTuple):
+    """Arithmetic locate metadata for piecewise-uniform axes (pure pytree).
+
+    Every reference grid is ``linspace`` (one uniform piece) or
+    ``sym_linspace`` (two uniform pieces meeting at zero — grids.py); on such
+    axes the ``searchsorted`` in :func:`nearest_eval` is replaceable by a
+    two-piece affine ``floor((q - lo)/dx)`` — O(1) arithmetic instead of a
+    binary-search chain. Inside a rollout scan this is the difference between
+    ~6 sequential ops per axis per step and one fused elementwise block
+    (the serving-mode lever; models/pos_att._closed_loop).
+
+    Leaves are arrays over a trailing axis-index dimension K (optionally
+    with leading batch dims, e.g. one row per channel), so locating all K
+    coordinates of a query point is one vectorized expression:
+
+    * ``a0``/``brk``: first grid point and the piece breakpoint value,
+    * ``d_left``/``d_right``: uniform spacing of each piece (equal when the
+      axis has a single piece),
+    * ``z``: float index where the right piece starts (0 for uniform axes),
+    * ``n``: float point count (for the cell clip),
+    * ``axmat``: the axis values padded to a common length — the
+      nearest-neighbor midpoint comparison uses the TRUE grid values, so the
+      pinned lower-snap tie rule (:func:`nearest_eval`) is preserved exactly.
+    """
+
+    a0: jax.Array
+    brk: jax.Array
+    d_left: jax.Array
+    d_right: jax.Array
+    z: jax.Array
+    n: jax.Array
+    axmat: jax.Array
+
+
+def affine_axes(axes: Sequence[np.ndarray], dtype=np.float32) -> AffineAxes:
+    """Build :class:`AffineAxes` for axes with at most two uniform pieces.
+
+    Raises ``ValueError`` for axes that are not piecewise-uniform with a
+    single breakpoint (callers fall back to :func:`nearest_eval`).
+    """
+    a0, brk, dl, dr, z, n = [], [], [], [], [], []
+    max_n = max(np.asarray(a).size for a in axes)
+    mats = []
+    for ax in axes:
+        a = np.asarray(ax, np.float64)
+        d = np.diff(a)
+        if a.size < 2:
+            raise ValueError("axis needs >= 2 points")
+        changes = np.nonzero(~np.isclose(d[1:], d[:-1], rtol=1e-4))[0]
+        if changes.size == 0:
+            zi = 0
+            d_l = d_r = float(d.mean())
+        elif changes.size == 1:
+            zi = int(changes[0]) + 1          # cell zi-1 is the last left cell
+            d_l = float(d[:zi].mean())
+            d_r = float(d[zi:].mean())
+        else:
+            raise ValueError(
+                "axis is not piecewise-uniform with <= 2 pieces; use "
+                "nearest_eval/searchsorted instead")
+        a0.append(float(a[0]))
+        brk.append(float(a[zi]))
+        dl.append(d_l)
+        dr.append(d_r)
+        z.append(float(zi))
+        n.append(float(a.size))
+        mats.append(np.pad(a.astype(dtype), (0, max_n - a.size),
+                           mode="edge"))
+    f = lambda v: jnp.asarray(np.asarray(v, dtype))  # noqa: E731
+    return AffineAxes(f(a0), f(brk), f(dl), f(dr), f(z), f(n),
+                      jnp.asarray(np.stack(mats)))
+
+
+def nearest_cell_index(aff: AffineAxes, q: jax.Array) -> jax.Array:
+    """Per-axis nearest grid indices for query coordinates ``q[..., K]``.
+
+    Equivalent to :func:`nearest_eval`'s index math (same edge clamp, same
+    midpoint comparison against the true grid values) with the
+    ``searchsorted`` replaced by the two-piece affine locate. Off-by-one
+    cell picks are possible only when a query sits within one f32 ulp of a
+    grid point — where both candidate cells snap to that same point.
+    """
+    lo_f = jnp.where(
+        q < aff.brk,
+        jnp.floor((q - aff.a0) / aff.d_left),
+        aff.z + jnp.floor((q - aff.brk) / aff.d_right))
+    lo = jnp.clip(lo_f, 0.0, aff.n - 2.0).astype(jnp.int32)
+    # axmat rows broadcast against q's batch dims (axmat (..., K, max_n),
+    # q (..., K)): flat gather with a per-row base offset
+    max_n = aff.axmat.shape[-1]
+    row_base = (jnp.arange(aff.axmat.size // max_n, dtype=jnp.int32)
+                .reshape(aff.axmat.shape[:-1]) * max_n)
+    flat = aff.axmat.reshape(-1)
+    g_lo = flat[row_base + lo]
+    g_hi = flat[row_base + lo + 1]
+    pick_hi = (q - g_lo) > (g_hi - q)
+    return lo + pick_hi.astype(jnp.int32)
 
 
 def interp_eval(values, axes: Sequence[np.ndarray], points, dtype=jnp.float32):

@@ -106,3 +106,46 @@ def test_nearest_midpoint_tie_snaps_low():
     got = np.asarray(nearest_eval(vals, [ax], (jnp.asarray(
         [-5.0, 9.0], jnp.float32),)))
     np.testing.assert_array_equal(got, [10.0, 40.0])
+
+
+def test_affine_axes_nearest_matches_searchsorted():
+    """The serving-path arithmetic locate (ops/interp.affine_axes /
+    nearest_cell_index) must reproduce nearest_eval's searchsorted index
+    math — same edge clamp, same lower-snap midpoint rule — on uniform,
+    two-piece sym_linspace (even n: differing half spacings), and
+    out-of-grid queries."""
+    import jax.numpy as jnp
+
+    from ocdp_tpu.grids import linspace_axis, sym_linspace_exact, \
+        sym_linspace_inclusive
+    from ocdp_tpu.ops.interp import affine_axes, nearest_cell_index
+
+    rng = np.random.default_rng(7)
+    axes = (sym_linspace_exact(-0.2, 0.2, 30),     # even n: rectilinear
+            sym_linspace_exact(-0.1, 0.1, 15),     # odd n: uniform halves
+            sym_linspace_inclusive(-1.0, 1.0, 200),
+            linspace_axis(-3.0, 5.0, 17))
+    aff = affine_axes(axes)
+    q = np.stack([rng.uniform(a[0] * 1.5, a[-1] * 1.5, 5000)
+                  .astype(np.float32) for a in axes], axis=-1)
+    got = np.asarray(nearest_cell_index(aff, jnp.asarray(q)))
+    for k, ax in enumerate(axes):
+        g = jnp.asarray(ax)
+        qq = jnp.asarray(q[:, k])
+        lo = jnp.clip(jnp.searchsorted(g, qq, side="right") - 1, 0,
+                      g.shape[0] - 2)
+        hi = (qq - jnp.take(g, lo)) > (jnp.take(g, lo + 1) - qq)
+        ref = np.asarray(jnp.where(hi, lo + 1, lo))
+        np.testing.assert_array_equal(got[:, k], ref)
+    # exact grid points snap to themselves
+    gq = np.stack([a[:5] for a in axes], axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(nearest_cell_index(aff, jnp.asarray(gq))),
+        np.broadcast_to(np.arange(5)[:, None], (5, 4)))
+
+
+def test_affine_axes_rejects_non_piecewise():
+    from ocdp_tpu.ops.interp import affine_axes
+
+    with pytest.raises(ValueError, match="piecewise-uniform"):
+        affine_axes((np.array([0.0, 1.0, 3.0, 7.0], np.float32),))
