@@ -62,6 +62,7 @@ __all__ = [
     "solve_ep",
     "PosAttSolution",
     "get_optimal_path",
+    "rollout_batch",
     "receding_horizon",
 ]
 
@@ -183,32 +184,54 @@ def _channel_axes(cfg: PosAttConfig, channel: str):
     return s_x, s_v, s_t, s_w
 
 
-def build_channel(cfg: PosAttConfig, channel: str, *, failure: bool = False) -> ChannelProblem:
-    """Grids, Euler-step next states, stage cost for one channel (:244-265)."""
+def build_channel(cfg: PosAttConfig, channel: str, *, failure: bool = False,
+                  with_cost: bool = True) -> ChannelProblem:
+    """Grids, Euler-step next states, stage cost for one channel (:244-265).
+
+    ``with_cost=False`` skips materializing the dense (S, A) stage-cost
+    tensor (``stage_cost=None``): the rowlane Pallas path consumes only the
+    FACTORIZED per-axis cost terms, and the dense broadcast sum is several
+    full-table temporaries per high-res channel for an array the fast path
+    never reads.
+
+    The whole precompute runs PINNED to the host CPU backend (the
+    attitude build_full pattern): the plan arrays are tiny broadcast
+    shapes, and dispatching each eager op through the axon TPU tunnel
+    costs ~1 s/op (~10 s/channel measured round 5); downstream jits
+    transfer the finished arrays in one hop, and the kernel builders'
+    host-side tap analysis reads them without per-access tunnel fetches.
+    """
     s_x, s_v, s_t, s_w = _channel_axes(cfg, channel)
     grid = Grid((s_x, s_v, s_t, s_w))
     forces = thruster_combinations(*cfg.thruster_value_sets(channel, failure))
     J = cfg.channel_inertia(channel)
     h = cfg.h
 
-    x = jnp.asarray(s_x)[:, None, None, None, None]
-    v = jnp.asarray(s_v)[None, :, None, None, None]
-    t = jnp.asarray(s_t)[None, None, :, None, None]
-    w = jnp.asarray(s_w)[None, None, None, :, None]
-    f = jnp.asarray(forces)  # (nc, 4)
-    fsum = (f[:, 0] + f[:, 1] + f[:, 2] + f[:, 3])[None, None, None, None, :]
-    # moment = (f0 - f1 + f6 - f7) * T_dist (wdynamics, :396-401)
-    fmom = (f[:, 0] - f[:, 1] + f[:, 2] - f[:, 3])[None, None, None, None, :]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x = jnp.asarray(s_x)[:, None, None, None, None]
+        v = jnp.asarray(s_v)[None, :, None, None, None]
+        t = jnp.asarray(s_t)[None, None, :, None, None]
+        w = jnp.asarray(s_w)[None, None, None, :, None]
+        f = jnp.asarray(forces)  # (nc, 4)
+        fsum = (f[:, 0] + f[:, 1] + f[:, 2]
+                + f[:, 3])[None, None, None, None, :]
+        # moment = (f0 - f1 + f6 - f7) * T_dist (wdynamics, :396-401)
+        fmom = (f[:, 0] - f[:, 1] + f[:, 2]
+                - f[:, 3])[None, None, None, None, :]
 
-    x_next = x + h * v
-    v_next = v + h * fsum / cfg.mass
-    t_next = t + h * w
-    w_next = w + h * fmom * cfg.moment_arm / J
-    plan = build_plan(grid.axes, (x_next, v_next, t_next, w_next))
+        x_next = x + h * v
+        v_next = v + h * fsum / cfg.mass
+        t_next = t + h * w
+        w_next = w + h * fmom * cfg.moment_arm / J
+        plan = build_plan(grid.axes, (x_next, v_next, t_next, w_next))
 
-    fsq = (f[:, 0] ** 2 + f[:, 1] ** 2 + f[:, 2] ** 2 + f[:, 3] ** 2)
-    cost = (cfg.Qx * x**2 + cfg.Qv * v**2 + cfg.Qt * t**2 + cfg.Qw * w**2
-            + cfg.R * fsq[None, None, None, None, :])
+        cost = None
+        if with_cost:
+            fsq = (f[:, 0] ** 2 + f[:, 1] ** 2 + f[:, 2] ** 2
+                   + f[:, 3] ** 2)
+            cost = (cfg.Qx * x**2 + cfg.Qv * v**2 + cfg.Qt * t**2
+                    + cfg.Qw * w**2
+                    + cfg.R * fsq[None, None, None, None, :])
     return ChannelProblem(cfg, channel, failure, grid, forces, plan, cost)
 
 
@@ -232,7 +255,8 @@ def _pad_plan_actions(plan: InterpPlan, n_act: int) -> InterpPlan:
 
 
 def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem,
-                                 *, n_act: Optional[int] = None, **kw):
+                                 *, n_act: Optional[int] = None,
+                                 device="default", **kw):
     """Row/lane Pallas kernel under the (v, w, x, t) permutation.
 
     rows = the action-coupled axes (v' dep (v, u); w' dep (w, u)), lanes =
@@ -244,27 +268,47 @@ def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem,
     ``n_act``: pad the action set out to this width (+inf cost on padded
     combos; see :func:`_pad_plan_actions`). Extra ``**kw`` (``live_sets``,
     ``cost_act_traced``, ...) pass through to the kernel builder.
+
+    The build runs PINNED to the host CPU backend (see
+    :func:`build_channel`): the cost-term algebra / plan transposes are
+    dozens of tiny eager ops whose FIRST dispatch each costs ~1 s of
+    compile through the axon tunnel (~50 s for the first channel build of
+    a process, measured round 5). The finished kernel arrays then move to
+    ``device`` (default: the process default device) in ONE batched
+    ``device_put`` so solve-time jits read device-resident inputs —
+    leaving them uncommitted on the host backend re-pays the tunnel
+    transfer on EVERY solve call (high-res x channel: 11.3 s/call vs
+    2.5 s device-resident). ``device=None`` skips the commit — required
+    by :func:`solve_ep`, whose shard_map distributes the stacked backups
+    over a multi-device mesh (arrays committed to device 0 make that jit
+    reject the arguments).
     """
     from ..ops.pallas_backup6 import PermutedRowLaneBackup
 
-    ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
-    plan = problem.plan
-    fsq = (problem.forces ** 2).sum(axis=1).astype(np.float32)
-    if n_act is not None and n_act > fsq.shape[0]:
-        plan = _pad_plan_actions(plan, n_act)
-        fsq = np.concatenate(
-            [fsq, np.full(n_act - fsq.shape[0], np.inf, np.float32)])
-    return PermutedRowLaneBackup(
-        plan,
-        [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
-         cfg.Qv * ax[1][None, :, None, None, None] ** 2,
-         cfg.Qt * ax[2][None, None, :, None, None] ** 2,
-         cfg.Qw * ax[3][None, None, None, :, None] ** 2,
-         cfg.R * jnp.asarray(fsq)[None, None, None, None, :]],
-        perm=(1, 3, 0, 2), row_axes=2, **kw)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        ax = [jnp.asarray(a, jnp.float32) for a in problem.grid.axes]
+        plan = problem.plan
+        fsq = (problem.forces ** 2).sum(axis=1).astype(np.float32)
+        if n_act is not None and n_act > fsq.shape[0]:
+            plan = _pad_plan_actions(plan, n_act)
+            fsq = np.concatenate(
+                [fsq, np.full(n_act - fsq.shape[0], np.inf, np.float32)])
+        backup = PermutedRowLaneBackup(
+            plan,
+            [cfg.Qx * ax[0][:, None, None, None, None] ** 2,
+             cfg.Qv * ax[1][None, :, None, None, None] ** 2,
+             cfg.Qt * ax[2][None, None, :, None, None] ** 2,
+             cfg.Qw * ax[3][None, None, None, :, None] ** 2,
+             cfg.R * jnp.asarray(fsq)[None, None, None, None, :]],
+            perm=(1, 3, 0, 2), row_axes=2, **kw)
+    if kw.get("analyze_only") or device is None:
+        return backup      # tap metadata only / uncommitted host arrays
+    if device == "default":
+        device = jax.devices()[0]
+    return jax.tree.map(lambda x: jax.device_put(x, device), backup)
 
 
-def build_ep_rowlane_backups(cfg: PosAttConfig, problems):
+def build_ep_rowlane_backups(cfg: PosAttConfig, problems, device="default"):
     """One rowlane backup per channel, all with IDENTICAL treedefs.
 
     Channels differ in action-set width (failure channel: 6 of 9 combos)
@@ -287,14 +331,14 @@ def build_ep_rowlane_backups(cfg: PosAttConfig, problems):
     """
     n_act = max(p.plan.query_shape[-1] for p in problems)
     first = [build_channel_rowlane_backup(cfg, p, n_act=n_act,
-                                          cost_act_traced=True)
+                                          analyze_only=True)
              for p in problems]
     from ..ops.pallas_backup6 import union_live_sets
 
     union = union_live_sets([b.bk for b in first])
     return [build_channel_rowlane_backup(cfg, p, n_act=n_act,
                                          cost_act_traced=True,
-                                         live_sets=union)
+                                         live_sets=union, device=device)
             for p in problems]
 
 
@@ -305,13 +349,24 @@ def solve_channel(
     failure: bool = False,
     impl: str = "auto",
     max_sweeps: Optional[int] = None,
+    tol_mode: str = "abs",
+    verbose: bool = False,
 ) -> tuple[ChannelController, SolveResult]:
     """Early-stopping value iteration for one channel (:268-289).
 
     ``impl='auto'`` (default) picks the bench-winning path: the row/lane
     Pallas kernel on TPU (2.2e10 evals/s on one v5e), the XLA stencil
-    elsewhere. ``'pallas'``/``'stencil'``/``'gather'`` force a path."""
+    elsewhere. ``'pallas'``/``'stencil'``/``'gather'`` force a path.
+    ``tol_mode``: 'abs' is the reference stop rule, 'rel' the scale-free
+    variant (engine.convergence_stop). ``verbose`` streams the reference's
+    per-check 'stage %d ... errorF %f - errorU %f' prints
+    (Solver_pos_att.m:272-279) via profiling.SweepTimer.on_check."""
     problem = build_channel(cfg, channel, failure=failure)
+    on_check = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_check = SweepTimer(verbose=True).on_check
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
@@ -328,7 +383,7 @@ def solve_channel(
         def _solve_arg(plan, cost, bk, n):
             return value_iteration_converged(
                 plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
-                backup=bk,
+                tol_mode=tol_mode, backup=bk, on_check=on_check,
             )
 
         result = _solve_arg(problem.plan, problem.stage_cost, backup, sweeps)
@@ -338,7 +393,7 @@ def solve_channel(
             # backup closed over -> weight stacks become foldable constants
             return value_iteration_converged(
                 plan, cost, n, check_every=cfg.check_every, tol=cfg.tol,
-                backup=backup,
+                tol_mode=tol_mode, backup=backup, on_check=on_check,
             )
 
         result = _solve(problem.plan, problem.stage_cost, sweeps)
@@ -362,16 +417,75 @@ def solve(
     include_failure: bool = True,
     impl: str = "auto",
     save_dir: Optional[str] = None,
+    max_sweeps: Optional[int] = None,
+    tol_mode: str = "abs",
+    verbose: bool = False,
 ) -> PosAttSolution:
-    """Solve all channels (+ x-failure), the reference's ``simplified_run``."""
+    """Solve all channels (+ x-failure), the reference's ``simplified_run``.
+
+    The reference loops its channel solves serially, re-entering the same
+    MATLAB code path each time (Solver_pos_att.m:217-240). The TPU analog
+    of "same code path" is ONE compiled program: on the pallas path every
+    channel backup is rebuilt against the union tap structure / padded
+    action width (:func:`build_ep_rowlane_backups` — identical treedef and
+    leaf shapes), and passed as a traced argument to a single jitted
+    converged engine. x, y, z, and x-failure then share one Mosaic compile;
+    the serial all-channel wall drops from 4x (compile + solve) to
+    compile + 4x solve (the channel kernels differ only in tap structure,
+    which at high-res dominated wall-clock ~200:1 over the solve itself).
+    Per-channel results are bitwise those of :func:`solve_channel` on the
+    same union backups (tests/test_pos_att_ep.py pins union == natural
+    build bitwise).
+    """
     from ..io import save_channel_controller
 
+    if impl == "auto":
+        impl = default_impl("pallas")
+    on_check = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_check = SweepTimer(verbose=True).on_check
     controllers = {}
-    for ch in CHANNELS:
-        controllers[ch], _ = solve_channel(cfg, ch, impl=impl)
-    if include_failure:
-        controllers["x_failure"], _ = solve_channel(cfg, "x", failure=True,
-                                                    impl=impl)
+    if impl == "pallas":
+        from ..ops.interp import PlanShape
+
+        problems = [build_channel(cfg, ch, with_cost=False)
+                    for ch in CHANNELS]
+        names = list(CHANNELS)
+        if include_failure:
+            problems.append(build_channel(cfg, "x", failure=True,
+                                          with_cost=False))
+            names.append("x_failure")
+        backups = build_ep_rowlane_backups(cfg, problems)
+        sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
+        plan_shape = PlanShape.of(problems[0].plan)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def run(bk, n):
+            return value_iteration_converged(
+                plan_shape, None, n, check_every=cfg.check_every,
+                tol=cfg.tol, tol_mode=tol_mode, backup=bk,
+                on_check=on_check)
+
+        for name, problem, bk in zip(names, problems, backups):
+            res = run(bk, sweeps)
+            controllers[name] = ChannelController(
+                axes=tuple(problem.grid.axes),
+                values=np.asarray(res.values),
+                argmin=np.asarray(res.argmin),
+                forces=problem.forces,
+            )
+    else:
+        for ch in CHANNELS:
+            controllers[ch], _ = solve_channel(cfg, ch, impl=impl,
+                                               max_sweeps=max_sweeps,
+                                               tol_mode=tol_mode,
+                                               verbose=verbose)
+        if include_failure:
+            controllers["x_failure"], _ = solve_channel(
+                cfg, "x", failure=True, impl=impl, max_sweeps=max_sweeps,
+                tol_mode=tol_mode, verbose=verbose)
     if save_dir is not None:
         import os
 
@@ -478,7 +592,7 @@ def solve_ep(
             f"but {n_ch} channels")
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
 
-    backups = build_ep_rowlane_backups(cfg, problems)
+    backups = build_ep_rowlane_backups(cfg, problems, device=None)
     treedefs = {jax.tree_util.tree_structure(b) for b in backups}
     if len(treedefs) != 1:   # union builder guarantees this; fail loudly
         raise AssertionError(
@@ -542,6 +656,72 @@ def default_x0(pitch_deg: float = 3.0):
     ])
 
 
+class _PolicyLookup(NamedTuple):
+    """Fused nearest-neighbor policy lookup state for the 3 channels.
+
+    ``tables[c]`` holds the per-cell optimal thruster forces of channel
+    ``c`` FLAT over cells — (4, n_cells), cells on the LANE axis (a
+    trailing dim of 4 would pay a 32x (8, 128)-tile pad in HBM: 207 MB of
+    high-res tables became 6.6 GB that way) — so one affine locate + one
+    16-byte column gather per channel replaces the reference's 12 'nearest'
+    griddedInterpolant calls per step (Solver_pos_att.m:432-447). All
+    channels share a grid shape, so their lookups batch into a single
+    (3, 4)-shaped locate (ops/interp.nearest_cell_index)."""
+
+    tables: jax.Array   # (3, 4, n_cells) f32
+    aff: object         # AffineAxes, leaves with leading channel dim (3, ...)
+    strides: jax.Array  # (4,) int32 C-order strides of the state grid
+
+
+# Device-resident lookups cached per controller set: the high-res force
+# table is ~200 MB, and re-uploading it through the axon tunnel every
+# replanning call costs ~14 s — more than the entire 10 s flight it serves
+# (measured round 5; the tunnel moves ~15 MB/s). Strong refs to the
+# controllers keep the id() keys valid while cached; FIFO-capped.
+_policy_lookup_cache: dict = {}
+
+
+def _build_policy_lookup(ctrls) -> _PolicyLookup:
+    from ..ops.interp import affine_axes
+
+    key = tuple(id(c) for c in ctrls)
+    hit = _policy_lookup_cache.get(key)
+    if hit is not None:
+        return hit[1]
+    shape = ctrls[0].argmin.shape
+    strides = np.ones(len(shape), np.int64)
+    for k in range(len(shape) - 2, -1, -1):
+        strides[k] = strides[k + 1] * shape[k + 1]
+    tables = np.stack([
+        np.asarray(c.forces, np.float32)[np.asarray(c.argmin).reshape(-1)].T
+        for c in ctrls])
+    affs = [affine_axes(c.axes) for c in ctrls]
+    aff = jax.tree.map(lambda *xs: jnp.stack(xs), *affs)
+    lookup = _PolicyLookup(jnp.asarray(tables), aff,
+                           jnp.asarray(strides, jnp.int32))
+    if len(_policy_lookup_cache) >= 8:
+        _policy_lookup_cache.pop(next(iter(_policy_lookup_cache)))
+    _policy_lookup_cache[key] = (tuple(ctrls), lookup)
+    return lookup
+
+
+# channel -> attitude index: x couples to pitch (t[1]), y to yaw (t[2]),
+# z to roll (t[0]) (Solver_pos_att.m:217-233)
+_ATT_IDX = np.array([1, 2, 0])
+
+
+def _lookup_forces(lk: _PolicyLookup, xb, vb, t_ang, w):
+    """(3, 4) per-thruster forces for all channels at one 13-state."""
+    from ..ops.interp import nearest_cell_index
+
+    att = jnp.asarray(_ATT_IDX)
+    q = jnp.stack([xb, vb, t_ang[att], w[att]], axis=-1)      # (3, 4)
+    idx = nearest_cell_index(lk.aff, q)                       # (3, 4)
+    lin = jnp.sum(idx * lk.strides, axis=-1)                  # (3,)
+    return jnp.take_along_axis(lk.tables, lin[:, None, None],
+                               axis=2)[:, :, 0]               # (3, 4)
+
+
 def get_optimal_path(
     sol: PosAttSolution,
     x0: Optional[jax.Array] = None,
@@ -557,11 +737,11 @@ def get_optimal_path(
     integrates this plant with ode45, Solver_pos_att.m:504), 'rkf45'
     (Curtis/Fehlberg pair; trajectories agree to integration tolerance,
     tests/test_pos_att.py), or 'rk4' (ONE fixed 4th-order step per 5 ms
-    stage — no adaptive while_loops, ~10x faster replanning; the serving
-    mode). ``ode_tol=None`` keeps each adaptive pair's reference defaults
-    (ode45: MATLAB RelTol=1e-3/AbsTol=1e-6; rkf45: the Curtis 1e-8); an
-    explicit value sets rkf45's tol, or ode45's RelTol with AbsTol at
-    MATLAB's default 1e-3 ratio.
+    stage — no adaptive while_loops; the serving mode). ``ode_tol=None``
+    keeps each adaptive pair's reference defaults (ode45: MATLAB
+    RelTol=1e-3/AbsTol=1e-6; rkf45: the Curtis 1e-8); an explicit value
+    sets rkf45's tol, or ode45's RelTol with AbsTol at MATLAB's default
+    1e-3 ratio.
 
     Returns (T, X, F_th, FM): times (N,), states (N, 13), thruster forces
     (N-1, 12), and the force/moment log (N-1, 6) = [a_rsw (3), U_M (3)].
@@ -572,11 +752,10 @@ def get_optimal_path(
     R0, V0 = target_orbit_R0V0()
     ctrls = [sol.controllers["x_failure" if ch == "x" and use_x_failure
                              else ch] for ch in CHANNELS]
-    tables = tuple(jnp.asarray(c.force_tables) for c in ctrls)
-    axes = tuple(tuple(jnp.asarray(a) for a in c.axes) for c in ctrls)
+    lookup = _build_policy_lookup(ctrls)
     y0 = default_x0() if x0 is None else jnp.asarray(x0, jnp.float32)
     return _closed_loop(
-        tables, axes, y0,
+        lookup, y0,
         jnp.asarray(R0, jnp.float32), jnp.asarray(V0, jnp.float32),
         jnp.asarray(cfg.inertia_matrix, jnp.float32),
         jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32),
@@ -584,28 +763,19 @@ def get_optimal_path(
         accel_scale=cfg.accel_scale, integrator=integrator, ode_tol=ode_tol)
 
 
-@partial(jax.jit, static_argnames=("n", "h", "arm", "mass", "accel_scale",
-                                   "integrator", "ode_tol"))
-def _closed_loop(tables, axes, y0, R0, V0, inertia, inertia_inv, *, n, h,
-                 arm, mass, accel_scale, integrator, ode_tol):
-    """The 13-state scan behind :func:`get_optimal_path`, as one cached jit.
+def _closed_loop_impl(lookup, y0, R0, V0, inertia, inertia_inv, *, n, h,
+                      arm, mass, accel_scale, integrator, ode_tol):
+    """The 13-state scan behind :func:`get_optimal_path`.
 
-    Module-level so repeated rollouts from different initial conditions —
-    the receding-horizon replanning pattern — reuse the traced/compiled
-    scan (replanning cost drops from ~20 s of per-call retracing to the
-    scan's run time)."""
-    from ..ops.interp import nearest_eval
+    Jitted module-level (``_closed_loop``) so repeated rollouts from
+    different initial conditions — the receding-horizon replanning pattern —
+    reuse the traced/compiled scan. The per-step policy query is ONE fused
+    affine locate + one row gather per channel (:func:`_lookup_forces`);
+    the searchsorted-chain version cost ~5 ms/step of sequential scalar ops
+    on TPU — slower than the 5 ms of simulated flight per step."""
     from ..utils.integrators import integrator_kwargs
 
     _adaptive, _kw = integrator_kwargs(integrator, ode_tol)
-
-    # channel -> (position index, theta/omega index): x uses t_y, w_y etc.
-    att_idx = (1, 2, 0)
-
-    def lookup(i, xb, vb, t, w):
-        pt = (xb[i], vb[i], t[att_idx[i]], w[att_idx[i]])
-        return jnp.stack([nearest_eval(tables[i][k], axes[i], pt)
-                          for k in range(4)])
 
     def step(carry, k):
         y = carry
@@ -614,9 +784,8 @@ def _closed_loop(tables, axes, y0, R0, V0, inertia, inertia_inv, *, n, h,
         xb = rsw_to_body(dr, q, R0, V0)
         vb = rsw_to_body(dv, q, R0, V0)
 
-        fx = lookup(0, xb, vb, t_ang, w)     # thrusters 0,1,6,7
-        fy = lookup(1, xb, vb, t_ang, w)     # thrusters 2,3,8,9
-        fz = lookup(2, xb, vb, t_ang, w)     # thrusters 4,5,10,11
+        forces = _lookup_forces(lookup, xb, vb, t_ang, w)
+        fx, fy, fz = forces[0], forces[1], forces[2]
 
         # moments (to_Moments_Forces, :804-813)
         U_M = jnp.stack([
@@ -642,6 +811,68 @@ def _closed_loop(tables, axes, y0, R0, V0, inertia, inertia_inv, *, n, h,
     X = jnp.concatenate([X, y_fin[None]], axis=0)
     T = jnp.arange(n) * h
     return T, X, F_th, FM
+
+
+_closed_loop = partial(
+    jax.jit, static_argnames=("n", "h", "arm", "mass", "accel_scale",
+                              "integrator", "ode_tol"))(_closed_loop_impl)
+
+
+@partial(jax.jit, static_argnames=("n", "h", "arm", "mass", "accel_scale",
+                                   "integrator", "ode_tol"))
+def _closed_loop_batch(lookup, y0s, R0, V0, inertia, inertia_inv, *, n, h,
+                       arm, mass, accel_scale, integrator, ode_tol):
+    def one(y0):
+        return _closed_loop_impl(
+            lookup, y0, R0, V0, inertia, inertia_inv, n=n, h=h, arm=arm,
+            mass=mass, accel_scale=accel_scale, integrator=integrator,
+            ode_tol=ode_tol)
+
+    return jax.vmap(one)(y0s)
+
+
+def rollout_batch(
+    sol: PosAttSolution,
+    x0s,
+    *,
+    t_final: Optional[float] = None,
+    use_x_failure: bool = False,
+    ode_tol: Optional[float] = None,
+    integrator: str = "rk4",
+):
+    """A fleet of closed-loop rollouts in ONE dispatch — the TPU-native
+    serving shape.
+
+    ``x0s``: (B, 13) initial states; the whole batch flies through one
+    vmapped scan, so the per-step fixed costs (policy locate, frame
+    transforms, integrator step) amortize across the batch — per-trajectory
+    throughput scales with B until the (B, 16)-row policy gathers saturate
+    HBM. The reference can only loop ``get_optimal_path`` one x0 at a time
+    (Solver_pos_att.m:452-506). Default integrator is the fixed-step 'rk4'
+    serving mode; the adaptive pairs vmap too (each batch lane steps until
+    all lanes accept).
+
+    Returns (T, X, F_th, FM) with a leading batch dim on X/F_th/FM:
+    T (N,), X (B, N, 13), F_th (B, N-1, 12), FM (B, N-1, 6).
+    """
+    cfg = sol.config
+    h = cfg.h
+    n = cfg.n_stage if t_final is None else int(np.ceil(t_final / h))
+    R0, V0 = target_orbit_R0V0()
+    ctrls = [sol.controllers["x_failure" if ch == "x" and use_x_failure
+                             else ch] for ch in CHANNELS]
+    lookup = _build_policy_lookup(ctrls)
+    y0s = jnp.asarray(x0s, jnp.float32)
+    if y0s.ndim != 2 or y0s.shape[-1] != 13:
+        raise ValueError(f"x0s must be (B, 13), got {y0s.shape}")
+    T, X, F_th, FM = _closed_loop_batch(
+        lookup, y0s,
+        jnp.asarray(R0, jnp.float32), jnp.asarray(V0, jnp.float32),
+        jnp.asarray(cfg.inertia_matrix, jnp.float32),
+        jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32),
+        n=n, h=h, arm=cfg.moment_arm, mass=cfg.mass,
+        accel_scale=cfg.accel_scale, integrator=integrator, ode_tol=ode_tol)
+    return T[0], X, F_th, FM
 
 
 def receding_horizon(

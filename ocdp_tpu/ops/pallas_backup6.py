@@ -468,7 +468,8 @@ class PallasBackup6D:
                  live_sets: tuple | None = None,
                  cost_act_traced: bool = False,
                  carry_padded: bool = False,
-                 digit_slice: int | None = None):
+                 digit_slice: int | None = None,
+                 analyze_only: bool = False):
         d = plan.ndim
         q_shape = plan.query_shape
         # in-kernel-recomputed lane queries (RecomputePlan): no lane plan
@@ -658,6 +659,15 @@ class PallasBackup6D:
         self.row_combos = tuple(row_combos)    # flat row offs
         self.lane_combos = tuple(lane_combos)  # flat lane offs
         self.lane_separable = lane_separable
+        if analyze_only:
+            # tap-analysis pass only (union_live_sets input): stop before
+            # any padded device array is built. The resulting object is
+            # NOT callable — it exists to donate its tap/combo structure
+            # to a union rebuild (models/pos_att.build_ep_rowlane_backups'
+            # two-pass build; halves the high-res all-channel build cost).
+            self.w_taps = tuple(tuple(t) for t in w_taps)
+            self.e_taps = tuple(tuple(t) for t in e_taps)
+            return
 
         # Action-digit factorization: when row axis k's (off, frac) depend
         # only on digit k of the C-order action index (true for attitude —

@@ -201,3 +201,50 @@ def test_receding_horizon_arbitrary_x0():
         assert np.isfinite(X).all()
         # position error must shrink in closed loop
         assert abs(X[-1, 0]) < abs(x0[0])
+
+
+def test_policy_lookup_matches_nearest_eval():
+    """The fused serving-path lookup (one affine locate + one row gather per
+    channel, models/pos_att._lookup_forces) must return exactly the forces
+    the per-thruster nearest_eval lookups (io.ChannelController
+    .thruster_forces — the reference's 12 'nearest' griddedInterpolants,
+    Solver_pos_att.m:432-447) return at random states incl. out-of-grid."""
+    cfg = small_cfg(T_final=10.0)
+    sol = pos_att.solve(cfg, include_failure=False, max_sweeps=40)
+    ctrls = [sol.controllers[ch] for ch in pos_att.CHANNELS]
+    lk = pos_att._build_policy_lookup(ctrls)
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        xb = jnp.asarray(rng.uniform(-0.3, 0.3, 3).astype(np.float32))
+        vb = jnp.asarray(rng.uniform(-0.15, 0.15, 3).astype(np.float32))
+        t_ang = jnp.asarray(rng.uniform(-0.1, 0.1, 3).astype(np.float32))
+        w = jnp.asarray(rng.uniform(-0.05, 0.05, 3).astype(np.float32))
+        got = np.asarray(pos_att._lookup_forces(lk, xb, vb, t_ang, w))
+        att = pos_att._ATT_IDX
+        for i in range(3):
+            pt = (xb[i], vb[i], t_ang[att[i]], w[att[i]])
+            ref = np.asarray(ctrls[i].thruster_forces(pt))
+            np.testing.assert_array_equal(got[i], ref)
+
+
+def test_rollout_batch_matches_individual():
+    """rollout_batch (vmapped serving rollouts) == per-x0 get_optimal_path,
+    trajectory for trajectory."""
+    cfg = small_cfg(n_mesh_x=12, n_mesh_v=12, n_mesh_t=8, n_mesh_w=7,
+                    T_final=10.0)
+    sol = pos_att.solve(cfg, include_failure=False)
+    x0s = []
+    for dx, pitch in ((-0.05, 2.0), (0.08, -1.5), (0.02, 0.5)):
+        x0 = np.array(pos_att.default_x0(pitch_deg=pitch))
+        x0[0] = dx
+        x0s.append(x0)
+    T_b, X_b, F_b, FM_b = pos_att.rollout_batch(sol, np.stack(x0s),
+                                                t_final=2.0)
+    assert X_b.shape[0] == 3 and F_b.shape[2] == 12
+    for b, x0 in enumerate(x0s):
+        T, X, F_th, FM = pos_att.get_optimal_path(
+            sol, jnp.asarray(x0, jnp.float32), t_final=2.0,
+            integrator="rk4")
+        np.testing.assert_allclose(np.asarray(X_b)[b], np.asarray(X),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(F_b)[b], np.asarray(F_th))

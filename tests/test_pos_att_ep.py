@@ -123,6 +123,50 @@ def test_live_sets_must_be_superset():
         pos_att.build_channel_rowlane_backup(cfg, p, live_sets=bad)
 
 
+def test_solve_unified_single_program_matches_serial():
+    """pos_att.solve(impl='pallas') routes every channel through ONE jitted
+    program over the union-treedef backups (one Mosaic compile for x, y, z,
+    x-failure); results must stay bitwise equal to the per-channel
+    solve_channel builds."""
+    cfg = small_cfg()
+    sol = pos_att.solve(cfg, impl="pallas", max_sweeps=25)
+    assert set(sol.controllers) == {"x", "y", "z", "x_failure"}
+    for name in ("x", "y", "z", "x_failure"):
+        ctrl_ref, _ = pos_att.solve_channel(
+            cfg, name.replace("_failure", ""), failure="failure" in name,
+            impl="pallas", max_sweeps=25)
+        got = sol.controllers[name]
+        np.testing.assert_array_equal(got.values, ctrl_ref.values)
+        np.testing.assert_array_equal(got.argmin, ctrl_ref.argmin)
+        np.testing.assert_array_equal(got.forces, ctrl_ref.forces)
+
+
+def test_solve_unified_compiles_once():
+    """The whole point of the unified path: 4 channels, ONE compilation of
+    the converged engine."""
+    cfg = small_cfg()
+    problems = _problems(cfg)
+    bks = pos_att.build_ep_rowlane_backups(cfg, problems)
+    from functools import partial
+
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.ops.interp import PlanShape
+
+    plan_shape = PlanShape.of(problems[0].plan)
+    n_traces = 0
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(bk, n):
+        nonlocal n_traces
+        n_traces += 1
+        return value_iteration_converged(plan_shape, None, n, check_every=5,
+                                         tol=cfg.tol, backup=bk)
+
+    for bk in bks:
+        jax.block_until_ready(run(bk, 10).values)
+    assert n_traces == 1
+
+
 def test_sharded_channel_solve_matches_serial():
     """solve_channel_sharded (halo + replicated engines) == the single-chip
     early-stopping channel solve — the high-res scaling path of
