@@ -70,7 +70,7 @@ __all__ = [
 _DEG = np.pi / 180.0
 
 
-def _jit_solve(plan, cost, backup, n):
+def _jit_solve(plan, cost, backup, n, on_sweep=None):
     """Jitted finite-horizon solve.
 
     Two compile strategies, chosen by the backup's weight mode:
@@ -87,14 +87,14 @@ def _jit_solve(plan, cost, backup, n):
         @partial(jax.jit, static_argnames=("n",))
         def go_arg(plan, cost, backup, n):
             return value_iteration_finite(plan, cost, n, store_policies=False,
-                                          backup=backup)
+                                          backup=backup, on_sweep=on_sweep)
 
         return go_arg(plan, cost, backup, n)
 
     @partial(jax.jit, static_argnames=("n",))
     def go(plan, cost, n):
         return value_iteration_finite(plan, cost, n, store_policies=False,
-                                      backup=backup)
+                                      backup=backup, on_sweep=on_sweep)
 
     return go(plan, cost, n)
 
@@ -196,6 +196,7 @@ def solve_simplified(
     num_sweeps: Optional[int] = None,
     impl: str = "auto",
     edge: str = "clamp",
+    verbose: bool = False,
 ) -> SimplifiedSolution:
     """3 decoupled (omega, theta) solves (:196-259), one jit each.
 
@@ -213,8 +214,16 @@ def solve_simplified(
     f32 rounding flips their argmin — observed with every backup impl
     (including the gather oracle) at the reference's 5999-sweep horizon.
     Interior cells are identical under both policies. See
-    :func:`ocdp_tpu.ops.interp.build_plan`."""
+    :func:`ocdp_tpu.ops.interp.build_plan`.
+
+    ``verbose``: per-stage 'step %d - %f seconds' prints (the reference's
+    default console output) via profiling.SweepTimer."""
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
+    on_sweep = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_sweep = SweepTimer(verbose=True).on_sweep
     auto = impl == "auto"
     if auto:
         impl = "rowband"
@@ -262,7 +271,7 @@ def solve_simplified(
         elif impl != "gather":
             raise ValueError(f"unknown impl {impl!r}")
 
-        res = _jit_solve(plan, cost, backup, sweeps)
+        res = _jit_solve(plan, cost, backup, sweeps, on_sweep)
         axes_out.append((s_w, s_t))
         tables.append(jnp.asarray(cfg.u_vector)[res.argmin])
         values.append(res.values)
@@ -278,22 +287,34 @@ class FullSolution(NamedTuple):
     result: SolveResult
 
     @property
-    def u_tables(self) -> jnp.ndarray:
+    def is_flat(self) -> bool:
+        """True when the result tables are in the flat (rows, lanes) device
+        layout (envelope-scale solves: flat plans / padded-carry engine)."""
+        return np.ndim(self.result.argmin) != self.grid.ndim
+
+    @property
+    def u_tables(self):
         """(3, *state_shape) optimal torque per axis from the flat argmin.
 
         Equivalent to the reference's nested-index composition
         U3(U2(U1)), U2(U1) (:290-292) — see ops/backup.py.
 
         Envelope-scale solves (flat plans / padded-carry engine) hold
-        ``result.argmin`` in the flat (rows, lanes) device layout; it is
-        reshaped to the 6-D state shape here so ``rollout_full`` and the
-        nested-index decode see one layout regardless of scale. (The
-        reshape is an XLA view op, but note a 6-D DEVICE array with small
-        trailing dims pays ~8x tile padding in HBM — fine at rollout
-        scales, deliberate for billion-cell solves only via
-        ``values_6d()``/``argmin_6d()`` host views.)
+        ``result.argmin`` in the flat (rows, lanes) device layout; decoding
+        those to 6-D ON DEVICE would re-materialize the ~8x tile padding the
+        flat layout exists to avoid (three f32 tables ~12 GB padded at 1B
+        cells), so flat results decode HOST-side from ``argmin_6d()`` and
+        return numpy. (``rollout_full`` never needs this for flat results —
+        it queries the flat argmin directly on device.) Small non-flat
+        solves keep the on-device decode.
         """
         nu = len(self.config.u_vector)
+        if self.is_flat:
+            a = self.argmin_6d()
+            i1, rem = a // (nu * nu), a % (nu * nu)
+            i2, i3 = rem // nu, rem % nu
+            u = np.asarray(self.config.u_vector)
+            return np.stack([u[i1], u[i2], u[i3]])
         a = self.result.argmin.reshape(self.grid.shape)
         i1, rem = a // (nu * nu), a % (nu * nu)
         i2, i3 = rem // nu, rem % nu
@@ -774,6 +795,9 @@ def solve_full(
     weight_mode: str = "precomputed",
     edge: str = "extrapolate",
     lane_mode: str = "auto",
+    flat: Optional[bool] = None,
+    carry_padded: Optional[bool] = None,
+    verbose: bool = False,
 ) -> FullSolution:
     """``action_chunk`` and ``state_blocks`` bound the live intermediates of
     the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
@@ -781,8 +805,14 @@ def solve_full(
     per (block x chunk). ``impl='auto'`` = the 6-D Pallas kernel on TPU (the
     only path that scales past ~1M cells there), the stencil elsewhere.
     ``lane_mode``: see :func:`build_full` — 'auto' switches past ~60M cells
-    to in-kernel lane recompute + uint8 kernel argmin (the envelope mode)."""
-    grid, plan, cost = build_full(cfg, edge=edge, lane_mode=lane_mode)
+    to in-kernel lane recompute + uint8 kernel argmin (the envelope mode).
+    ``flat``/``carry_padded``: force (or forbid) the flat (rows, lanes)
+    plan layout and the padded-carry engine mode (whose results STAY in the
+    flat layout) — both default to auto-on past 8M cells; tests force them
+    small to exercise the envelope result layout (incl. ``rollout_full``'s
+    flat policy lookup) in the fast lane."""
+    grid, plan, cost = build_full(cfg, edge=edge, lane_mode=lane_mode,
+                                  flat=flat)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
@@ -828,7 +858,9 @@ def solve_full(
         backup = build_pallas_backup_6d(plan, cost,
                                         consume_plan=plan_is_flat(plan),
                                         argmin_dtype=adt,
-                                        carry_padded=cells > 8_000_000)
+                                        carry_padded=(cells > 8_000_000
+                                                      if carry_padded is None
+                                                      else carry_padded))
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
@@ -839,7 +871,13 @@ def solve_full(
         from ..ops.interp import PlanShape
 
         plan, cost = PlanShape.of(plan), None
-    return FullSolution(cfg, grid, _jit_solve(plan, cost, backup, sweeps))
+    on_sweep = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_sweep = SweepTimer(verbose=True).on_sweep
+    return FullSolution(cfg, grid,
+                        _jit_solve(plan, cost, backup, sweeps, on_sweep))
 
 
 # ----------------------------------------------------------------- dynamics
@@ -886,23 +924,59 @@ def rollout_full(
 ):
     """Full-policy rollout with taylor (Euler) steps (:744-833).
 
+    Envelope-scale (flat-layout) solutions fly WITHOUT materializing 6-D
+    torque tables: the per-step policy query is an affine nearest locate on
+    the 6 axes + a row/lane digit compose + ONE scalar gather from the flat
+    argmin (then the 3-digit torque decode) — so billion-cell policies
+    solved in the flat (rows, lanes) layout roll out on device as-is.
+    Flat solutions support ``method='nearest'`` only (the reference's
+    policy-rollout interpolant); small solves also offer 'interp'.
+
     Returns (X, U, ANGLES): states (N, 7), torques (N-1, 3), Euler angles
     (N-1, 3).
     """
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
-    tables = sol.u_tables
     axes = sol.grid.axes
     inertia_d = jnp.asarray(np.diag(cfg.inertia_diag), jnp.float32)
     inertia_d_inv = jnp.asarray(np.diag(1.0 / np.asarray(cfg.inertia_diag)),
                                 jnp.float32)
-    eval_fn = nearest_eval if method == "nearest" else (
-        lambda t, a, p: interp_eval(t, a, p))
+    if sol.is_flat:
+        if method != "nearest":
+            raise ValueError(
+                "flat-layout solutions support method='nearest' only "
+                "(6-D interpolated torque tables would have to be "
+                "materialized)")
+        from ..ops.interp import affine_axes, nearest_cell_index
+
+        aff = affine_axes(axes)
+        shape = sol.grid.shape
+        argmin_flat = sol.result.argmin     # (NW, NE), rows = omega cells
+        nu = len(cfg.u_vector)
+        u_vec = jnp.asarray(cfg.u_vector)
+        row_mul = jnp.asarray(
+            [shape[1] * shape[2], shape[2], 1, 0, 0, 0], jnp.int32)
+        lane_mul = jnp.asarray(
+            [0, 0, 0, shape[4] * shape[5], shape[5], 1], jnp.int32)
+
+        def lookup(pt):
+            idx = nearest_cell_index(aff, jnp.stack(pt))
+            a = argmin_flat[jnp.sum(idx * row_mul),
+                            jnp.sum(idx * lane_mul)].astype(jnp.int32)
+            i1, rem = a // (nu * nu), a % (nu * nu)
+            return jnp.stack([u_vec[i1], u_vec[rem // nu], u_vec[rem % nu]])
+    else:
+        tables = sol.u_tables
+        eval_fn = nearest_eval if method == "nearest" else (
+            lambda t, a, p: interp_eval(t, a, p))
+
+        def lookup(pt):
+            return jnp.stack([eval_fn(tables[i], axes, pt)
+                              for i in range(3)])
 
     def step(X, _):
         yaw, pitch, roll = euler_from_kirk_quat(X[3:7])
-        pt = (X[0], X[1], X[2], yaw, pitch, roll)
-        U = jnp.stack([eval_fn(tables[i], axes, pt) for i in range(3)])
+        U = lookup((X[0], X[1], X[2], yaw, pitch, roll))
         X_dot = attitude_rates_kirk(X, U, inertia_d, inertia_d_inv)
         X_next = _renorm_q(X + cfg.h * X_dot)
         return X_next, (X, U, jnp.stack([yaw, pitch, roll]))
