@@ -35,6 +35,17 @@ def _add_common(p):
                         "(default: clamp for the simplified axes, "
                         "extrapolate for the 6-D solve; see "
                         "ops.interp.build_plan)")
+    p.add_argument("--tol-mode", default="abs", choices=["abs", "rel"],
+                   dest="tol_mode",
+                   help="pos-att convergence stop rule: 'abs' is the "
+                        "reference's |dSumV| < tol (never fires at its own "
+                        "defaults), 'rel' the scale-free variant that "
+                        "does (engine.convergence_stop)")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress the reference-parity per-stage progress "
+                        "prints ('step %%d - %%f seconds' / per-check "
+                        "errorF/errorU lines) — they cost a host callback "
+                        "per stage")
 
 
 
@@ -49,13 +60,14 @@ def cmd_solve(args):
         # sweeps, test/Dynamic_Solver.m:86): --sweeps S solves with N = S+1.
         cfg = kirk.KirkConfig() if args.sweeps is None \
             else dataclasses.replace(kirk.KirkConfig(), N=args.sweeps + 1)
-        sol = kirk.solve(cfg, impl=args.impl)
+        sol = kirk.solve(cfg, impl=args.impl, verbose=not args.quiet)
         out = {"values_sum": float(np.asarray(sol.result.values).sum())}
     elif args.problem == "position":
         from .models import position
 
         sol = position.solve(position.PositionConfig(),
-                             num_sweeps=args.sweeps, impl=args.impl)
+                             num_sweeps=args.sweeps, impl=args.impl,
+                             verbose=not args.quiet)
         out = {"values_sum": float(np.asarray(sol.result.values).sum())}
     elif args.problem == "attitude":
         from .models import attitude
@@ -63,7 +75,8 @@ def cmd_solve(args):
         kw = {"edge": args.edge} if args.edge else {}
         sol = attitude.solve_simplified(attitude.AttitudeConfig(),
                                         num_sweeps=args.sweeps,
-                                        impl=args.impl, **kw)
+                                        impl=args.impl,
+                                        verbose=not args.quiet, **kw)
         out = {"values_sum": float(sum(np.asarray(v).sum() for v in sol.values))}
     elif args.problem == "attitude-full":
         from .models import attitude
@@ -72,13 +85,18 @@ def cmd_solve(args):
                                       n_mesh_q=args.n_mesh_q)
         kw = {"edge": args.edge} if args.edge else {}
         sol = attitude.solve_full(cfg, num_sweeps=args.sweeps,
-                                  impl=args.impl, **kw)
+                                  impl=args.impl, verbose=not args.quiet,
+                                  **kw)
         out = {"values_sum": float(np.asarray(sol.result.values).sum())}
     else:
         from .models import pos_att
 
+        # --sweeps caps the early-stop loop (reference cap: n_stage - 1);
+        # --tol-mode selects the stop rule (VERDICT r4 item 8)
         sol = pos_att.solve(pos_att.PosAttConfig(), impl=args.impl,
-                            save_dir=args.out)
+                            save_dir=args.out, max_sweeps=args.sweeps,
+                            tol_mode=args.tol_mode,
+                            verbose=not args.quiet)
         out = {ch: float(np.asarray(c.values).sum())
                for ch, c in sol.controllers.items()}
     out["wall_s"] = round(time.time() - t0, 2)
@@ -102,7 +120,9 @@ def cmd_rollout(args):
     elif args.problem == "position":
         from .models import position
 
-        sol = position.solve(position.PositionConfig(), num_sweeps=args.sweeps)
+        sol = position.solve(position.PositionConfig(),
+                             num_sweeps=args.sweeps, impl=args.impl,
+                             verbose=not args.quiet)
         T, X, U = position.get_optimal_path(sol)
         out = {"x_final": np.asarray(X)[-1, :3].tolist()}
         if args.plot:
@@ -117,7 +137,8 @@ def cmd_rollout(args):
         kw = {"edge": args.edge} if args.edge else {}
         sol = attitude.solve_simplified(attitude.AttitudeConfig(),
                                         num_sweeps=args.sweeps,
-                                        impl=args.impl, **kw)
+                                        impl=args.impl,
+                                        verbose=not args.quiet, **kw)
         X, U = attitude.rollout_simplified_real_dynamics(
             sol, integrator=args.integrator)
         theta = 2.0 * np.arcsin(np.clip(np.asarray(X)[-1, 3:6], -1, 1))
@@ -129,14 +150,19 @@ def cmd_rollout(args):
         cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
                                       n_mesh_q=args.n_mesh_q)
         kw = {"edge": args.edge} if args.edge else {}
-        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps, **kw)
+        sol = attitude.solve_full(cfg, num_sweeps=args.sweeps,
+                                  impl=args.impl, verbose=not args.quiet,
+                                  **kw)
         X, U, ang = attitude.rollout_full(sol)
         out = {"angles_final_deg": (np.abs(np.asarray(ang)[-100:]).mean(axis=0)
                                     * 180 / np.pi).tolist()}
     else:
         from .models import pos_att
 
-        sol = pos_att.solve(pos_att.PosAttConfig(), include_failure=False)
+        sol = pos_att.solve(pos_att.PosAttConfig(), include_failure=False,
+                            impl=args.impl, max_sweeps=args.sweeps,
+                            tol_mode=args.tol_mode,
+                            verbose=not args.quiet)
         T, X, F_th, FM = pos_att.get_optimal_path(
             sol, integrator=args.integrator)
         out = {"x_final": np.asarray(X)[-1, :3].tolist()}

@@ -108,6 +108,7 @@ def solve(
     *,
     store_policies: bool = True,
     impl: str = "auto",
+    verbose: bool = False,
 ) -> KirkSolution:
     """Run the N-1 backward sweeps (test/Dynamic_Solver.m:86-102) under jit.
 
@@ -120,8 +121,17 @@ def solve(
     (residual-tap gather for wide action sets), or ``"gather"`` (generic
     2^d-corner gather oracle). All compute the same multilinear-
     interpolation + first-min semantics; values agree to f32 rounding.
+
+    ``verbose``: per-stage 'step %d - %f seconds' prints (the reference's
+    default console output, test/Dynamic_Solver.m:87,101) via
+    profiling.SweepTimer — costs a host callback per sweep.
     """
     problem = build(config)
+    on_sweep = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_sweep = SweepTimer(verbose=True).on_sweep
     auto = impl == "auto"
     if auto:
         impl = default_impl("pallas")
@@ -166,7 +176,8 @@ def solve(
         @partial(jax.jit, static_argnames=("num_sweeps", "store"))
         def _solve_arg(plan, cost, bk, num_sweeps, store):
             return value_iteration_finite(
-                plan, cost, num_sweeps, store_policies=store, backup=bk
+                plan, cost, num_sweeps, store_policies=store, backup=bk,
+                on_sweep=on_sweep,
             )
 
         result = _solve_arg(problem.plan, problem.stage_cost, backup,
@@ -177,7 +188,8 @@ def solve(
     def _solve(plan, cost, num_sweeps, store):
         # backup closed over -> weight stacks become foldable constants
         return value_iteration_finite(
-            plan, cost, num_sweeps, store_policies=store, backup=backup
+            plan, cost, num_sweeps, store_policies=store, backup=backup,
+            on_sweep=on_sweep,
         )
 
     result = _solve(problem.plan, problem.stage_cost, config.N - 1,

@@ -150,9 +150,18 @@ def solve(
     *,
     num_sweeps: Optional[int] = None,
     impl: str = "auto",
+    verbose: bool = False,
 ) -> PositionSolution:
-    """All channels' value iteration in one jitted scan (:131-141)."""
+    """All channels' value iteration in one jitted scan (:131-141).
+
+    ``verbose``: per-stage 'step %d - %f seconds' prints (the reference's
+    default console output) via profiling.SweepTimer."""
     problem = build(config)
+    on_sweep = None
+    if verbose:
+        from ..profiling import SweepTimer
+
+        on_sweep = SweepTimer(verbose=True).on_sweep
     sweeps = (config.n_stage - 1) if num_sweeps is None else num_sweeps
     backup = None
     if impl in ("stencil", "auto"):
@@ -169,7 +178,7 @@ def solve(
     def _solve(plan, cost, n):
         # backup closed over -> weight stacks become foldable constants
         return value_iteration_finite(plan, cost, n, store_policies=False,
-                                      backup=backup)
+                                      backup=backup, on_sweep=on_sweep)
 
     result = _solve(problem.plan, problem.stage_cost, sweeps)
     return PositionSolution(problem, result)
