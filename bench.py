@@ -11,6 +11,9 @@ every other family the judge tracks:
                         sweeps each (Solver_attitude.m:108,116,143-144)
 * ``pos_att_channel`` — one 30x30x20x15 x 9-combo channel, early-stop loop
                         incl. the periodic checks (Solver_pos_att.m:268-286)
+* ``pos_att_serving`` — reference grid, the serving path: unified
+                        4-channel solve (ONE compiled program) + 'rk4'
+                        closed-loop rollouts, single-flight and batch-256
 * ``attitude_6d``     — full coupled 6-D attitude at the reference's
                         historically-run 11^3 x 10^3 scale
                         (Solver_attitude.asv:95-103), 6-D Pallas kernel
@@ -275,6 +278,68 @@ def bench_pos_att_channel():
     }
 
 
+def bench_pos_att_serving():
+    """Serving benchmarks on the REFERENCE grid (Solver_pos_att.m:100-119):
+    the unified all-channel solve (x, y, z, x-failure through ONE compiled
+    rowlane program — the north-star "full coupled position+attitude value
+    iteration converged in seconds") + the 'rk4' closed-loop serving
+    rollout, single-flight and batched (a fleet of initial conditions per
+    dispatch, the TPU-native serving shape the MATLAB reference can only
+    loop one x0 at a time, :452-506)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig()
+    t0 = time.perf_counter()
+    sol = pos_att.solve(cfg, impl="pallas")          # 4 ctrls, one compile
+    solve_all_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = pos_att.solve(cfg, impl="pallas")
+    solve_all_warm_s = time.perf_counter() - t0      # jit cache hit
+
+    x0 = _np.array(pos_att.default_x0(pitch_deg=2.0))
+    x0[0] = -0.08
+    t0 = time.perf_counter()
+    T, X, _, _ = pos_att.get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+                                          integrator="rk4")
+    _fetch(X)
+    rk4_cold_s = time.perf_counter() - t0
+    x0[0] = 0.06
+    t0 = time.perf_counter()
+    T, X, _, _ = pos_att.get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+                                          integrator="rk4")
+    _fetch(X)
+    rk4_warm_s = time.perf_counter() - t0
+    flight_s = float(T[-1])
+
+    B = 256
+    rng = _np.random.default_rng(0)
+    x0s = _np.tile(_np.asarray(pos_att.default_x0()), (B, 1))
+    x0s += rng.normal(0, 0.01, x0s.shape).astype(_np.float32)
+    Tb, Xb, _, _ = pos_att.rollout_batch(sol, x0s)       # compile
+    _fetch(Xb)
+    t0 = time.perf_counter()
+    Tb, Xb, _, _ = pos_att.rollout_batch(sol, x0s)
+    _fetch(Xb)
+    batch_warm_s = time.perf_counter() - t0
+    return {
+        "solve_all_channels_s": round(solve_all_s, 2),
+        "solve_all_channels_warm_s": round(solve_all_warm_s, 2),
+        "rollout_rk4_cold_s": round(rk4_cold_s, 2),
+        "rollout_rk4_warm_s": round(rk4_warm_s, 3),
+        "realtime_factor": round(flight_s / rk4_warm_s, 1),
+        "batch": B,
+        "batch_warm_s": round(batch_warm_s, 3),
+        "batch_flight_s_per_s": round(B * flight_s / batch_warm_s, 1),
+        "impl": "pallas-rowlane + affine-locate rk4 scan",
+        "workload": "pos-att reference grid: unified 4-channel solve + "
+                    f"{flight_s:.0f} s closed-loop serving rollouts",
+    }
+
+
 def bench_pos_att_highres():
     """BASELINE.json config #5: the high-res coupled grid (60x60x40x30 =
     4.32M cells x 9 combos per channel) — converged x-channel solve plus the
@@ -334,6 +399,19 @@ def bench_pos_att_highres():
                                             t_final=10.0, integrator="rk4")
     _fetch(X4)
     rollout_rk4_warm_s = time.perf_counter() - t0
+
+    # batched-x0 serving throughput on the HIGH-RES tables (207 MB of
+    # policy — the affine-locate gathers amortize across the fleet)
+    B = 256
+    rng = _np.random.default_rng(0)
+    x0s = _np.tile(_np.asarray(pos_att.default_x0()), (B, 1))
+    x0s += rng.normal(0, 0.01, x0s.shape).astype(_np.float32)
+    Tb, Xb, _, _ = pos_att.rollout_batch(sol, x0s, t_final=10.0)  # compile
+    _fetch(Xb)
+    t0 = time.perf_counter()
+    Tb, Xb, _, _ = pos_att.rollout_batch(sol, x0s, t_final=10.0)
+    _fetch(Xb)
+    batch_warm_s = time.perf_counter() - t0
     return {
         "evals_per_s": round(evals / dt, 1),
         "wall_s": round(dt, 4),
@@ -345,6 +423,9 @@ def bench_pos_att_highres():
         "receding_horizon_warm_s": round(rollout_warm_s, 2),
         "receding_horizon_rk4_cold_s": round(rollout_rk4_cold_s, 2),
         "receding_horizon_rk4_warm_s": round(rollout_rk4_warm_s, 2),
+        "batch": B,
+        "batch_warm_s": round(batch_warm_s, 3),
+        "batch_flight_s_per_s": round(B * float(Tb[-1]) / batch_warm_s, 1),
         "final_x_error_m": round(x_err, 4),
         "impl": "pallas-rowlane",
         "workload": f"pos-att high-res x channel {cells}x9 converged loop "
@@ -425,14 +506,15 @@ def main():
 
     which = os.environ.get(
         "BENCH_FAMILIES",
-        "kirk,attitude_axis,position,pos_att_channel,attitude_6d,"
-        "attitude_6d_converged,pos_att_highres",
+        "kirk,attitude_axis,position,pos_att_channel,pos_att_serving,"
+        "attitude_6d,attitude_6d_converged,pos_att_highres",
     ).split(",")
     runners = {
         "kirk": bench_kirk,
         "attitude_axis": bench_attitude_axis,
         "position": bench_position,
         "pos_att_channel": bench_pos_att_channel,
+        "pos_att_serving": bench_pos_att_serving,
         "attitude_6d": bench_attitude_6d,
         "attitude_6d_converged": bench_attitude_6d_converged,
         "pos_att_highres": bench_pos_att_highres,
