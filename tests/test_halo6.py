@@ -202,3 +202,47 @@ def test_halo6_recompute_plan_matches_single_chip():
     np.testing.assert_array_equal(
         np.asarray(ref.argmin).reshape(-1),
         np.asarray(got.argmin).reshape(-1))
+
+
+@pytest.mark.slow
+def test_halo6_grid_beyond_one_device_budget():
+    """The 8-way mesh solving a grid whose flat table busts a per-device
+    budget — the reason halo6 exists (the reference's nominal 90x50 grid
+    "can't be run on my 8GB of RAM", Solver_attitude.m:185-192).
+
+    15^3 x 12^3 = 5.83M cells: the padded flat f32 value table is ~24 MB.
+    Take a simulated per-device budget of 8 MB (a scaled stand-in for one
+    chip's HBM): the FULL table exceeds it 3x, while each of the 8 devices
+    holds only its row block + two halo slabs — comfortably inside. The
+    sharded solve must still be BITWISE the single-device kernel's (which
+    CAN run here because host RAM plays the role of an oversized chip —
+    exactly how this property is testable at all).
+    """
+    from ocdp_tpu.parallel.halo6 import _build_rowsharded
+
+    grid, plan, cost = _problem(15, 12)
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("s",))
+
+    # per-device residency accounting (CPU backend exposes no device
+    # memory stats; the block geometry is the evidence)
+    bk_s, B, lo, hi = _build_rowsharded(plan, cost, n_dev, {"row_tile": 8})
+    budget = 8 * 2**20
+    full_table = bk_s.NWp * bk_s.NEp * 4
+    block_table = (B + lo + hi) * bk_s.NEp * 4       # f32 V block + halos
+    block_argmin = B * bk_s.NEp                      # uint8 argmin block
+    assert full_table > budget, (full_table, budget)
+    # block + halos + argmin ~7.3 MB: inside the budget the full 24 MB
+    # table busts. (The halo fraction is large at this toy height — ~490
+    # of 912 block rows — because row taps reach +-nw^2 rows; at envelope
+    # heights (50^3 rows) the same absolute halo is ~1% of the block.)
+    assert block_table + block_argmin < budget, (block_table, budget)
+
+    got = value_iteration_finite_halo6(plan, cost, 2, mesh, row_tile=8)
+    bk = build_pallas_backup_6d(plan, cost, row_tile=8)
+    ref = jax.jit(lambda b: value_iteration_finite(
+        plan, cost, 2, store_policies=False, backup=b))(bk)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
