@@ -469,7 +469,8 @@ class PallasBackup6D:
                  cost_act_traced: bool = False,
                  carry_padded: bool = False,
                  digit_slice: int | None = None,
-                 analyze_only: bool = False):
+                 analyze_only: bool = False,
+                 track_argmin: bool = True):
         d = plan.ndim
         q_shape = plan.query_shape
         # in-kernel-recomputed lane queries (RecomputePlan): no lane plan
@@ -480,6 +481,13 @@ class PallasBackup6D:
             raise ValueError(
                 f"RecomputePlan was built for row_axes={plan.row_axes}, "
                 f"got row_axes={row_axes}")
+        # track_argmin=False: min-only sweeps — the argmin compare/select
+        # chain and the out_a stores drop out of the kernel (argmin output
+        # is zeros). Correct whenever the caller keeps only the LAST
+        # sweep's argmin (both engines do): run sweeps 0..n-2 min-only and
+        # the final sweep with a tracking kernel. Roofline lever measured
+        # round 5 (scripts/roofline.py / NOTES.md).
+        self.track_argmin = bool(track_argmin)
         self.argmin_dtype = np.dtype(argmin_dtype)
         if np.issubdtype(self.argmin_dtype, np.integer) and \
                 np.iinfo(self.argmin_dtype).max < q_shape[-1] - 1:
@@ -1214,6 +1222,11 @@ class PallasBackup6D:
             if best_v is None:
                 best_v = tot
                 best_a = jnp.zeros((T, NE), jnp.int32)
+            elif not self.track_argmin:
+                # min-only sweep: same where-min (NOT jnp.minimum — that
+                # would propagate NaN where the reference's min ignores
+                # it, ops/backup.py), minus the argmin select chain
+                best_v = jnp.where(tot < best_v, tot, best_v)
             else:
                 better = tot < best_v        # strict: first minimum wins
                 best_v = jnp.where(better, tot, best_v)
@@ -1298,6 +1311,8 @@ class PallasBackup6D:
             if best_v is None:
                 best_v = tot
                 best_a = jnp.zeros((T, NE), jnp.int32)
+            elif not self.track_argmin:
+                best_v = jnp.where(tot < best_v, tot, best_v)
             else:
                 better = tot < best_v        # strict: first minimum wins
                 best_v = jnp.where(better, tot, best_v)
@@ -1330,7 +1345,7 @@ class PallasBackup6D:
                    "w_taps", "e_taps", "c_act", "pad_top", "pad_bot",
                    "action_digits", "row_delta_group", "table_hbm",
                    "argmin_dtype", "lane_rec_meta", "carry_padded",
-                   "digit_slice")
+                   "digit_slice", "track_argmin")
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self._LEAF_FIELDS),

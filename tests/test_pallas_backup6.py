@@ -128,13 +128,10 @@ def test_flat_plan_solve_full_end_to_end(small_problem, monkeypatch):
                                   np.asarray(sol.result.argmin))
 
 
-def test_flat_plan_rejects_stencil_impl(small_problem, monkeypatch):
+def test_flat_plan_rejects_stencil_impl(small_problem):
     cfg, _, _, _ = small_problem
-    orig = attitude.build_full
-    monkeypatch.setattr(attitude, "build_full",
-                        lambda c, **kw: orig(c, flat=True, **kw))
     with pytest.raises(ValueError, match="pallas"):
-        attitude.solve_full(cfg, num_sweeps=1, impl="stencil")
+        attitude.solve_full(cfg, num_sweeps=1, impl="stencil", flat=True)
 
 
 def test_rejects_non_separable_plan():
@@ -415,3 +412,18 @@ def test_carry_padded_rejects_probe_window():
         value_iteration_finite(PlanShape.of(plan), None, 2,
                                store_policies=False, backup=bk,
                                probe_window=((0, 2),) * 6)
+
+
+def test_min_only_sweep_matches_tracking_values(small_problem):
+    """track_argmin=False (the roofline min-only lever): values BITWISE
+    equal to the tracking kernel's (same where-min, argmin select chain
+    dropped), argmin output all-zeros."""
+    _, grid, plan, cost = small_problem
+    v = jax.random.normal(jax.random.PRNGKey(3), plan.grid_shape,
+                          jnp.float32)
+    ref = build_pallas_backup_6d(plan, cost, row_tile=8)(v)
+    got = build_pallas_backup_6d(plan, cost, row_tile=8,
+                                 track_argmin=False)(v)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    assert not np.any(np.asarray(got.argmin))
