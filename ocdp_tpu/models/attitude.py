@@ -219,11 +219,9 @@ def solve_simplified(
     ``verbose``: per-stage 'step %d - %f seconds' prints (the reference's
     default console output) via profiling.SweepTimer."""
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
-    on_sweep = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_sweep = SweepTimer(verbose=True).on_sweep
+    on_sweep = sweep_callback(verbose)
     auto = impl == "auto"
     if auto:
         impl = "rowband"
@@ -281,6 +279,19 @@ def solve_simplified(
 
 # ----------------------------------------------------------------- full 6-D
 
+def decode_torque_digits(a, u_vec):
+    """Flat 27-action argmin -> (u1, u2, u3) per-axis torques.
+
+    The 3-digit C-order decode behind the reference's nested-index
+    composition U3(U2(U1)), U2(U1) (Solver_attitude.m:290-292; flat
+    equivalence proven in ops/backup.py). Array-namespace agnostic:
+    numpy in / numpy out (host-side envelope decodes), jnp in / jnp out
+    (on-device tables and rollout lookups)."""
+    nu = len(u_vec)
+    i1, rem = a // (nu * nu), a % (nu * nu)
+    return u_vec[i1], u_vec[rem // nu], u_vec[rem % nu]
+
+
 class FullSolution(NamedTuple):
     config: AttitudeConfig
     grid: Grid
@@ -308,18 +319,12 @@ class FullSolution(NamedTuple):
         it queries the flat argmin directly on device.) Small non-flat
         solves keep the on-device decode.
         """
-        nu = len(self.config.u_vector)
         if self.is_flat:
-            a = self.argmin_6d()
-            i1, rem = a // (nu * nu), a % (nu * nu)
-            i2, i3 = rem // nu, rem % nu
-            u = np.asarray(self.config.u_vector)
-            return np.stack([u[i1], u[i2], u[i3]])
-        a = self.result.argmin.reshape(self.grid.shape)
-        i1, rem = a // (nu * nu), a % (nu * nu)
-        i2, i3 = rem // nu, rem % nu
-        u = jnp.asarray(self.config.u_vector)
-        return jnp.stack([u[i1], u[i2], u[i3]])
+            return np.stack(decode_torque_digits(
+                self.argmin_6d(), np.asarray(self.config.u_vector)))
+        return jnp.stack(decode_torque_digits(
+            self.result.argmin.reshape(self.grid.shape),
+            jnp.asarray(self.config.u_vector)))
 
     def values_6d(self) -> np.ndarray:
         """HOST-side state-shaped view of the values.
@@ -871,11 +876,9 @@ def solve_full(
         from ..ops.interp import PlanShape
 
         plan, cost = PlanShape.of(plan), None
-    on_sweep = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_sweep = SweepTimer(verbose=True).on_sweep
+    on_sweep = sweep_callback(verbose)
     return FullSolution(cfg, grid,
                         _jit_solve(plan, cost, backup, sweeps, on_sweep))
 
@@ -952,7 +955,6 @@ def rollout_full(
         aff = affine_axes(axes)
         shape = sol.grid.shape
         argmin_flat = sol.result.argmin     # (NW, NE), rows = omega cells
-        nu = len(cfg.u_vector)
         u_vec = jnp.asarray(cfg.u_vector)
         row_mul = jnp.asarray(
             [shape[1] * shape[2], shape[2], 1, 0, 0, 0], jnp.int32)
@@ -963,8 +965,7 @@ def rollout_full(
             idx = nearest_cell_index(aff, jnp.stack(pt))
             a = argmin_flat[jnp.sum(idx * row_mul),
                             jnp.sum(idx * lane_mul)].astype(jnp.int32)
-            i1, rem = a // (nu * nu), a % (nu * nu)
-            return jnp.stack([u_vec[i1], u_vec[rem // nu], u_vec[rem % nu]])
+            return jnp.stack(decode_torque_digits(a, u_vec))
     else:
         tables = sol.u_tables
         eval_fn = nearest_eval if method == "nearest" else (

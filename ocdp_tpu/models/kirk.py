@@ -127,11 +127,9 @@ def solve(
     profiling.SweepTimer — costs a host callback per sweep.
     """
     problem = build(config)
-    on_sweep = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_sweep = SweepTimer(verbose=True).on_sweep
+    on_sweep = sweep_callback(verbose)
     auto = impl == "auto"
     if auto:
         impl = default_impl("pallas")

@@ -305,7 +305,7 @@ def build_channel_rowlane_backup(cfg: PosAttConfig, problem: ChannelProblem,
         return backup      # tap metadata only / uncommitted host arrays
     if device == "default":
         device = jax.devices()[0]
-    return jax.tree.map(lambda x: jax.device_put(x, device), backup)
+    return jax.device_put(backup, device)   # pytree-level: ONE batched hop
 
 
 def build_ep_rowlane_backups(cfg: PosAttConfig, problems, device="default"):
@@ -362,11 +362,9 @@ def solve_channel(
     per-check 'stage %d ... errorF %f - errorU %f' prints
     (Solver_pos_att.m:272-279) via profiling.SweepTimer.on_check."""
     problem = build_channel(cfg, channel, failure=failure)
-    on_check = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_check = SweepTimer(verbose=True).on_check
+    on_check = sweep_callback(verbose, kind="check")
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
@@ -441,11 +439,9 @@ def solve(
 
     if impl == "auto":
         impl = default_impl("pallas")
-    on_check = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_check = SweepTimer(verbose=True).on_check
+    on_check = sweep_callback(verbose, kind="check")
     controllers = {}
     if impl == "pallas":
         from ..ops.interp import PlanShape
@@ -461,15 +457,10 @@ def solve(
         sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
         plan_shape = PlanShape.of(problems[0].plan)
 
-        @partial(jax.jit, static_argnames=("n",))
-        def run(bk, n):
-            return value_iteration_converged(
-                plan_shape, None, n, check_every=cfg.check_every,
-                tol=cfg.tol, tol_mode=tol_mode, backup=bk,
-                on_check=on_check)
-
         for name, problem, bk in zip(names, problems, backups):
-            res = run(bk, sweeps)
+            res = _run_converged_arg(bk, plan_shape, sweeps,
+                                     cfg.check_every, cfg.tol, tol_mode,
+                                     on_check)
             controllers[name] = ChannelController(
                 axes=tuple(problem.grid.axes),
                 values=np.asarray(res.values),
@@ -493,6 +484,23 @@ def solve(
             save_channel_controller(
                 os.path.join(save_dir, f"channel_{name}_controller_1.npz"), ctrl)
     return PosAttSolution(cfg, controllers)
+
+
+@partial(jax.jit, static_argnames=("plan_shape", "n", "check_every", "tol",
+                                   "tol_mode", "on_check"))
+def _run_converged_arg(bk, plan_shape, n, check_every, tol, tol_mode,
+                       on_check):
+    """Module-level jit behind the unified :func:`solve`: repeated calls —
+    and repeated SOLVES — reuse one traced/compiled program per
+    (plan_shape, horizon, stop rule). A nested closure here would re-trace
+    every ``solve()`` call (jit caches key on the function object), paying
+    the ~1.6 s rebuild the union-treedef design exists to amortize.
+    ``on_check`` is static: ``None`` (the library default) caches; a
+    fresh verbose callback per call deliberately re-traces (host print
+    path serializes the loop anyway)."""
+    return value_iteration_converged(
+        plan_shape, None, n, check_every=check_every, tol=tol,
+        tol_mode=tol_mode, backup=bk, on_check=on_check)
 
 
 def solve_channel_sharded(
@@ -580,10 +588,11 @@ def solve_ep(
     if mesh is None:
         n_dev = 4 if include_failure else 3
         mesh = Mesh(np.array(jax.devices()[:n_dev]), (axis_name,))
-    problems = [build_channel(cfg, ch) for ch in CHANNELS]
+    problems = [build_channel(cfg, ch, with_cost=False) for ch in CHANNELS]
     names = list(CHANNELS)
     if include_failure:
-        problems.append(build_channel(cfg, "x", failure=True))
+        problems.append(build_channel(cfg, "x", failure=True,
+                                      with_cost=False))
         names.append("x_failure")
     n_ch = len(problems)
     if mesh.shape[axis_name] != n_ch:

@@ -157,11 +157,9 @@ def solve(
     ``verbose``: per-stage 'step %d - %f seconds' prints (the reference's
     default console output) via profiling.SweepTimer."""
     problem = build(config)
-    on_sweep = None
-    if verbose:
-        from ..profiling import SweepTimer
+    from ..profiling import sweep_callback
 
-        on_sweep = SweepTimer(verbose=True).on_sweep
+    on_sweep = sweep_callback(verbose)
     sweeps = (config.n_stage - 1) if num_sweeps is None else num_sweeps
     backup = None
     if impl in ("stencil", "auto"):

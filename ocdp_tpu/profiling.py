@@ -17,7 +17,8 @@ import contextlib
 import os
 import time
 
-__all__ = ["enable_compilation_cache", "trace", "SweepTimer"]
+__all__ = ["enable_compilation_cache", "trace", "SweepTimer",
+           "sweep_callback"]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
@@ -107,3 +108,15 @@ class SweepTimer:
     def sweeps_per_s(self) -> float:
         dt = max(self.last_t - self.t0, 1e-9)
         return self.total_sweeps / dt
+
+
+def sweep_callback(verbose: bool, kind: str = "sweep"):
+    """The solver entry points' one-liner for the reference's default
+    console prints: ``None`` unless ``verbose``, else a fresh
+    :class:`SweepTimer`'s per-sweep (``kind='sweep'``: finite engines,
+    'step %d - %f seconds') or per-check (``kind='check'``: converged
+    engines, errorF/errorU line) callback."""
+    if not verbose:
+        return None
+    t = SweepTimer(verbose=True)
+    return t.on_check if kind == "check" else t.on_sweep

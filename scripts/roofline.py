@@ -19,7 +19,7 @@ the round-5 snapshot. The first executable timed in a fresh process
 reports a bogus ~0 wall through the axon tunnel (measured round 5); a
 throwaway warmup family absorbs it.
 
-Usage: python scripts/roofline.py [--families a,b,...] [--trials N]
+Usage: PYTHONPATH=. python scripts/roofline.py [--families a,b,...]
 """
 import argparse
 import json
