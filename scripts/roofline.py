@@ -35,14 +35,22 @@ HBM_PEAK = 819e9          # bytes/s, v5e
 VPU_PEAK = 7.7e12         # f32 lane-ops/s, v5e (8 ALUs x 1024 lanes x .94GHz)
 
 
+def _fetch(res):
+    """A real host fetch, not block_until_ready: through the axon tunnel
+    block_until_ready on a fresh executable can return before the work
+    (bogus ~0 walls measured round 5); fetching a scalar cannot."""
+    return (float(np.asarray(res.values.ravel()[0]))
+            + float(np.asarray(res.argmin.ravel()[0])))
+
+
 def _time_sweeps(fn, args, sweeps, trials):
     res = fn(*args)
-    jax.block_until_ready((res.values, res.argmin))
+    _fetch(res)
     best = np.inf
     for _ in range(trials):
         t0 = time.perf_counter()
         res = fn(*args)
-        jax.block_until_ready((res.values, res.argmin))
+        _fetch(res)
         best = min(best, time.perf_counter() - t0)
     return best / sweeps, res
 
