@@ -59,6 +59,7 @@ from ..utils.quaternions import quat_to_euler_zyx
 
 __all__ = [
     "AttitudeConfig",
+    "decode_torque_digits",
     "solve_simplified",
     "solve_full",
     "rollout_full",
