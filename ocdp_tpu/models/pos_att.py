@@ -361,13 +361,16 @@ def solve_channel(
     variant (engine.convergence_stop). ``verbose`` streams the reference's
     per-check 'stage %d ... errorF %f - errorU %f' prints
     (Solver_pos_att.m:272-279) via profiling.SweepTimer.on_check."""
-    problem = build_channel(cfg, channel, failure=failure)
     from ..profiling import sweep_callback
 
     on_check = sweep_callback(verbose, kind="check")
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
+    # the rowlane path reads only the FACTORIZED cost terms — skip the
+    # dense (S, A) stage-cost build (~155 MB/channel at high-res)
+    problem = build_channel(cfg, channel, failure=failure,
+                            with_cost=impl != "pallas")
     backup = None
     if impl == "stencil":
         backup = build_stencil_backup(problem.plan, problem.stage_cost)

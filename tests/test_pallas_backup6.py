@@ -113,18 +113,17 @@ def test_flat_plan_matches_full(small_problem):
 
 
 @pytest.mark.slow
-def test_flat_plan_solve_full_end_to_end(small_problem, monkeypatch):
-    """solve_full over a flat plan (PlanShape shim + engine) == full plan."""
+def test_flat_plan_solve_full_end_to_end(small_problem):
+    """solve_full over a flat plan (PlanShape shim + engine) == full plan
+    (flat results come back in the flat layout; compare via the host
+    views)."""
     cfg, _, _, _ = small_problem
-    orig = attitude.build_full
-    monkeypatch.setattr(attitude, "build_full",
-                        lambda c, **kw: orig(c, flat=True, **kw))
-    sol_f = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
-    monkeypatch.undo()
-    sol = attitude.solve_full(cfg, num_sweeps=4, impl="pallas")
-    np.testing.assert_array_equal(np.asarray(sol_f.result.values),
+    sol_f = attitude.solve_full(cfg, num_sweeps=4, impl="pallas", flat=True,
+                                carry_padded=False)
+    sol = attitude.solve_full(cfg, num_sweeps=4, impl="pallas", flat=False)
+    np.testing.assert_array_equal(sol_f.values_6d(),
                                   np.asarray(sol.result.values))
-    np.testing.assert_array_equal(np.asarray(sol_f.result.argmin),
+    np.testing.assert_array_equal(sol_f.argmin_6d(),
                                   np.asarray(sol.result.argmin))
 
 
