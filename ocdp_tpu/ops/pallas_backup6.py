@@ -520,8 +520,13 @@ class PallasBackup6D:
             # Mosaic spills scale with the (T, NEp) tile footprint; T=32 at
             # NEp=1024 compiles, larger products crash the compile helper
             # (register-spill VMEM exhaustion, NOTES.md). Keep T*NEp at or
-            # under that budget, floor 8 (the f32 sublane count).
-            row_tile = max(8, (32 * 1024 // self.NEp) // 8 * 8)
+            # under that budget, floor 8 (the f32 sublane count), cap 16:
+            # a measured tile sweep (round 5, NOTES) has the flagship
+            # 11^3x10^3 grid fastest at T=16 (2.76 vs 2.91 ms/sweep at
+            # 32) and the envelope grids already at the T=8 floor — the
+            # 32K-element target overshoots the sweet spot when NEp is
+            # narrow. (The pos-att rowlane wrapper tunes its own tile.)
+            row_tile = min(16, max(8, (32 * 1024 // self.NEp) // 8 * 8))
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
         self.row_delta_group = row_delta_group
