@@ -170,7 +170,7 @@ class ChannelProblem(NamedTuple):
     grid: Grid
     forces: np.ndarray     # (n_comb, 4) pruned combinations
     plan: object
-    stage_cost: jax.Array
+    stage_cost: Optional[jax.Array]   # None when built with_cost=False
 
 
 def _channel_axes(cfg: PosAttConfig, channel: str):
@@ -348,6 +348,19 @@ def build_ep_rowlane_backups(cfg: PosAttConfig, problems, device="default"):
             for p in problems]
 
 
+def _channel_problems(cfg: PosAttConfig, include_failure: bool):
+    """(names, problems) for the all-channel solvers — x, y, z (+ the
+    thruster-0 x-failure variant), cost-free builds (the rowlane paths
+    read only the factorized terms)."""
+    problems = [build_channel(cfg, ch, with_cost=False) for ch in CHANNELS]
+    names = list(CHANNELS)
+    if include_failure:
+        problems.append(build_channel(cfg, "x", failure=True,
+                                      with_cost=False))
+        names.append("x_failure")
+    return names, problems
+
+
 def solve_channel(
     cfg: PosAttConfig,
     channel: str,
@@ -369,7 +382,6 @@ def solve_channel(
     (Solver_pos_att.m:272-279) via profiling.SweepTimer.on_check."""
     from ..profiling import sweep_callback
 
-    on_check = sweep_callback(verbose, kind="check")
     sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
     if impl == "auto":
         impl = default_impl("pallas")
@@ -384,6 +396,9 @@ def solve_channel(
         backup = build_channel_rowlane_backup(cfg, problem)
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
+    # timer created AFTER the builds: the first errorF line must report
+    # the solve-side delta, not ~60 s of channel/kernel build
+    on_check = sweep_callback(verbose, kind="check")
 
     if backup is not None and getattr(backup, "traced_argument", False):
         @partial(jax.jit, static_argnames=("n",))
@@ -455,13 +470,7 @@ def solve(
     if impl == "pallas":
         from ..ops.interp import PlanShape
 
-        problems = [build_channel(cfg, ch, with_cost=False)
-                    for ch in CHANNELS]
-        names = list(CHANNELS)
-        if include_failure:
-            problems.append(build_channel(cfg, "x", failure=True,
-                                          with_cost=False))
-            names.append("x_failure")
+        names, problems = _channel_problems(cfg, include_failure)
         backups = build_ep_rowlane_backups(cfg, problems)
         sweeps = (cfg.n_stage - 1) if max_sweeps is None else max_sweeps
         plan_shape = PlanShape.of(problems[0].plan)
@@ -597,12 +606,7 @@ def solve_ep(
     if mesh is None:
         n_dev = 4 if include_failure else 3
         mesh = Mesh(np.array(jax.devices()[:n_dev]), (axis_name,))
-    problems = [build_channel(cfg, ch, with_cost=False) for ch in CHANNELS]
-    names = list(CHANNELS)
-    if include_failure:
-        problems.append(build_channel(cfg, "x", failure=True,
-                                      with_cost=False))
-        names.append("x_failure")
+    names, problems = _channel_problems(cfg, include_failure)
     n_ch = len(problems)
     if mesh.shape[axis_name] != n_ch:
         raise ValueError(

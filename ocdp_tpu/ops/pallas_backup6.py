@@ -199,6 +199,20 @@ class RecomputePlan:
         return obj
 
 
+def auto_row_tile(NEp: int) -> int:
+    """The measured-default row tile for a lane width (ONE copy — the halo
+    engines share it). Mosaic spills scale with the (T, NEp) tile
+    footprint; T=32 at NEp=1024 compiles but larger products crash the
+    compile helper (register-spill VMEM exhaustion, NOTES.md). Keep
+    T*NEp at or under that budget, floor 8 (the f32 sublane count),
+    cap 16: a measured tile sweep (round 5, NOTES) has the flagship
+    11^3x10^3 grid fastest at T=16 (2.76 vs 2.91 ms/sweep at 32) and the
+    envelope grids already at the T=8 floor — the 32K-element target
+    overshoots the sweet spot when NEp is narrow. (The pos-att rowlane
+    wrapper tunes its own tile.)"""
+    return min(16, max(8, (32 * 1024 // NEp) // 8 * 8))
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -517,16 +531,7 @@ class PallasBackup6D:
                 f"row_axes={row_axes} split of grid {state_shape}")
         self.NEp = _round_up(self.NE, 128)
         if row_tile is None:
-            # Mosaic spills scale with the (T, NEp) tile footprint; T=32 at
-            # NEp=1024 compiles, larger products crash the compile helper
-            # (register-spill VMEM exhaustion, NOTES.md). Keep T*NEp at or
-            # under that budget, floor 8 (the f32 sublane count), cap 16:
-            # a measured tile sweep (round 5, NOTES) has the flagship
-            # 11^3x10^3 grid fastest at T=16 (2.76 vs 2.91 ms/sweep at
-            # 32) and the envelope grids already at the T=8 floor — the
-            # 32K-element target overshoots the sweet spot when NEp is
-            # narrow. (The pos-att rowlane wrapper tunes its own tile.)
-            row_tile = min(16, max(8, (32 * 1024 // self.NEp) // 8 * 8))
+            row_tile = auto_row_tile(self.NEp)   # see the helper's rationale
         self.interpret = (jax.default_backend() != "tpu"
                           if interpret is None else interpret)
         self.row_delta_group = row_delta_group

@@ -36,7 +36,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine import SolveResult, convergence_stop, policy_dtype_for
 from ..ops.interp import InterpPlan
-from ..ops.pallas_backup6 import PallasBackup6D, _round_up
+from ..ops.pallas_backup6 import (PallasBackup6D, _round_up,
+                                  auto_row_tile)
 from .sharded import _record_check
 
 __all__ = ["value_iteration_finite_halo6", "value_iteration_converged_halo6"]
@@ -54,7 +55,7 @@ def _build_rowsharded(plan: InterpPlan, cost_terms, n_dev: int, kernel_kw):
     state_shape = plan.grid_shape if flat else plan.query_shape[:-1]
     NW = int(np.prod(state_shape[:row_axes]))
     NEp = _round_up(int(np.prod(state_shape[row_axes:])), 128)
-    T = kernel_kw.get("row_tile") or max(8, (32 * 1024 // NEp) // 8 * 8)
+    T = kernel_kw.get("row_tile") or auto_row_tile(NEp)
     B = _round_up(-(-NW // n_dev), T)            # block rows, whole tiles
     kw = dict(kernel_kw, row_tile=T, row_pad_to=n_dev * B)
     bk = PallasBackup6D(plan, cost_terms, **kw)

@@ -156,13 +156,12 @@ def fam_pos_att_channel(highres=False):
     from ocdp_tpu.models import pos_att
 
     cfg = pos_att.PosAttConfig.high_res() if highres else pos_att.PosAttConfig()
-    problem = pos_att.build_channel(cfg, "x")
+    problem = pos_att.build_channel(cfg, "x", with_cost=False)
     bk = pos_att.build_channel_rowlane_backup(cfg, problem)
     sweeps = 200
-    fn = jax.jit(lambda p, c, b: value_iteration_finite(
-        p, c, sweeps, store_policies=False, backup=b))
-    sps, _ = _time_sweeps(fn, (problem.plan, problem.stage_cost, bk),
-                          sweeps, 3)
+    fn = jax.jit(lambda p, b: value_iteration_finite(
+        p, None, sweeps, store_policies=False, backup=b))
+    sps, _ = _time_sweeps(fn, (problem.plan, bk), sweeps, 3)
     cells = int(np.prod(problem.grid.shape))
     return dict(cells=cells, actions=9, s_per_sweep=sps,
                 bytes_per_sweep=pallas_bytes_per_sweep(bk),
