@@ -396,6 +396,8 @@ def value_iteration_segmented(
     checkpoint_axes=None,
     on_segment=None,
     narrow_argmin_result: bool = False,
+    tol: Optional[float] = None,
+    tol_mode: str = "abs",
 ) -> SolveResult:
     """Finite-horizon solve in host-visible segments.
 
@@ -429,6 +431,19 @@ def value_iteration_segmented(
     only the final result (the multi-GB int32 widening happens at most
     once, if at all).
 
+    ``tol``: optional EARLY STOP — the converged engine's periodic
+    checksum rule (:func:`convergence_stop`, abs or ``tol_mode='rel'``)
+    evaluated host-side at each segment boundary, with ``segment_size``
+    playing the reference's ``check_every`` cadence. This is how the
+    nominal multi-hour envelope solve runs: checkpoint + convergence
+    check at the same boundary, one scalar fetch per segment (the value
+    checksum over real cells — pad lanes are zeros in every flat/padded
+    layout, so a plain sum is the masked sum). Mirrors the reference's
+    in-loop stop (Solver_pos_att.m:268-286) at segment granularity:
+    with ``segment_size == check_every`` and the same horizon the stop
+    DECISION is identical (the checksums are the same sums, fetched
+    rather than while_loop-carried).
+
     Returns a SolveResult whose ``policies`` (if stored) is a HOST numpy
     array of shape (num_sweeps - start_sweep, *state_shape).
     """
@@ -458,11 +473,24 @@ def value_iteration_segmented(
             policy_dtype=pdt, backup=backup, narrow_argmin_result=narrow,
         )
 
+    if tol is not None and tol_mode not in ("abs", "rel"):
+        raise ValueError(f"unknown tol_mode {tol_mode!r}; use 'abs' or 'rel'")
     host_policies = [] if store_policies else None
     sweep = start_sweep
     argmin = None
+    prev_f = 0.0       # the converged engine's init (first err = full sum)
+    converged = False
     while sweep < num_sweeps:
-        n = min(segment_size, num_sweeps - sweep)
+        if tol is not None:
+            # align segment boundaries to the converged engine's check
+            # sweeps (its countdown checks at sweeps == (num_sweeps+1)
+            # mod check_every) so the stop decision — and therefore the
+            # stopped-at values — are IDENTICAL, not one-sweep-shifted
+            r = (num_sweeps % segment_size + 1) % segment_size
+            n = min(((r - sweep - 1) % segment_size) + 1,
+                    num_sweeps - sweep)
+        else:
+            n = min(segment_size, num_sweeps - sweep)
         last = sweep + n >= num_sweeps
         narrow = narrow_argmin_result if last else carry_padded
         res = run_segment(v, n, store_policies, narrow)
@@ -478,12 +506,21 @@ def value_iteration_segmented(
                         checkpoint_axes if checkpoint_axes is not None else ())
         if on_segment is not None:
             on_segment(sweep, v)
+        if tol is not None:
+            fsum = float(jnp.sum(v, dtype=jnp.float32))
+            if bool(convergence_stop(jnp.float32(fsum - prev_f),
+                                     jnp.float32(fsum), tol, tol_mode)):
+                converged = True
+                break
+            prev_f = fsum
 
     policies = np.concatenate(host_policies, axis=0) if store_policies else None
-    return SolveResult(
+    if not narrow_argmin_result and argmin is not None:
+        argmin = argmin.astype(jnp.int32)   # early stop can skip the
+    return SolveResult(                     # last-segment widening
         values=v,
         argmin=argmin,
         policies=policies,
-        num_sweeps=jnp.asarray(num_sweeps - start_sweep, jnp.int32),
-        converged=jnp.asarray(False),
+        num_sweeps=jnp.asarray(sweep - start_sweep, jnp.int32),
+        converged=jnp.asarray(converged),
     )

@@ -118,3 +118,49 @@ def test_segmented_padded_carry_rejects_policy_store():
     with pytest.raises(ValueError, match="store_policies"):
         value_iteration_segmented(plan_shape, None, 4, backup=bk,
                                   store_policies=True)
+
+
+def test_segmented_tol_stop_matches_converged_engine():
+    """Host-side early stop at segment boundaries: with segment_size ==
+    check_every the stop DECISION (sweep count) and the stopped-at values
+    match the converged engine's in-loop rule."""
+    from ocdp_tpu.engine import value_iteration_converged
+    from ocdp_tpu.models import pos_att
+
+    cfg = pos_att.PosAttConfig(n_mesh_x=8, n_mesh_v=8, n_mesh_t=6,
+                               n_mesh_w=5, T_final=2.0)
+    p = pos_att.build_channel(cfg, "x")
+    ref = value_iteration_converged(p.plan, p.stage_cost, 1000,
+                                    check_every=20, tol=2e-2,
+                                    tol_mode="rel")
+    got = value_iteration_segmented(p.plan, p.stage_cost, 1000,
+                                    segment_size=20, tol=2e-2,
+                                    tol_mode="rel")
+    assert bool(ref.converged) and bool(got.converged)
+    assert int(got.num_sweeps) == int(ref.num_sweeps)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
+    np.testing.assert_array_equal(np.asarray(got.argmin),
+                                  np.asarray(ref.argmin))
+
+
+def test_segmented_tol_stop_padded_carry():
+    """tol + padded-carry: the envelope checkpoint/early-stop combination
+    the multi-hour nominal solve runs. Flat zeros-padded layouts make the
+    plain sum the masked sum, so the decision matches a converged run of
+    the same backup."""
+    from ocdp_tpu.models import attitude
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4, T_final=1.5)
+    grid, ps, bk = _envelope_backup(cfg)
+    got = value_iteration_segmented(ps, None, 300, segment_size=50,
+                                    backup=bk, tol=1e-3, tol_mode="rel")
+    ref_n = None
+    from ocdp_tpu.engine import value_iteration_converged
+
+    ref = value_iteration_converged(ps, None, 300, check_every=50,
+                                    tol=1e-3, tol_mode="rel", backup=bk)
+    assert bool(got.converged) == bool(ref.converged)
+    assert int(got.num_sweeps) == int(ref.num_sweeps)
+    np.testing.assert_array_equal(np.asarray(got.values),
+                                  np.asarray(ref.values))
