@@ -804,6 +804,12 @@ def solve_full(
     flat: Optional[bool] = None,
     carry_padded: Optional[bool] = None,
     verbose: bool = False,
+    segment_size: Optional[int] = None,
+    checkpoint_path: Optional[str] = None,
+    start_sweep: int = 0,
+    init_values=None,
+    tol: Optional[float] = None,
+    tol_mode: str = "abs",
 ) -> FullSolution:
     """``action_chunk`` and ``state_blocks`` bound the live intermediates of
     the fused stencil tree — the 6-D grid is HBM-hungry (unblocked 15^3x9^3
@@ -816,7 +822,16 @@ def solve_full(
     plan layout and the padded-carry engine mode (whose results STAY in the
     flat layout) — both default to auto-on past 8M cells; tests force them
     small to exercise the envelope result layout (incl. ``rollout_full``'s
-    flat policy lookup) in the fast lane."""
+    flat policy lookup) in the fast lane.
+
+    ``segment_size``: run through :func:`engine.value_iteration_segmented`
+    instead of one jitted scan — the multi-hour envelope form:
+    ``checkpoint_path`` persists the flat table + sweep index per segment
+    (resume via ``init_values``/``start_sweep`` from ``io.load_values``),
+    and ``tol``/``tol_mode`` apply the converged engine's stop rule at
+    segment boundaries (the reference's check cadence at
+    ``segment_size=50``; bitwise the in-loop decision). Results are
+    bitwise the unsegmented solve (tests/test_segmented.py)."""
     grid, plan, cost = build_full(cfg, edge=edge, lane_mode=lane_mode,
                                   flat=flat)
     sweeps = (cfg.n_stage - 1) if num_sweeps is None else num_sweeps
@@ -870,7 +885,8 @@ def solve_full(
     elif impl != "gather":
         raise ValueError(f"unknown impl {impl!r}")
 
-    if plan_is_flat(plan):
+    flat_solve = plan_is_flat(plan)
+    if flat_solve:
         # the engine only reads shapes once a backup exists; dropping the
         # real plan frees its multi-GB arrays before the solve (the kernel
         # holds its own derived arrays)
@@ -879,6 +895,20 @@ def solve_full(
         plan, cost = PlanShape.of(plan), None
     from ..profiling import sweep_callback
 
+    if segment_size is not None:
+        from ..engine import value_iteration_segmented
+        from ..profiling import SweepTimer
+
+        on_segment = (SweepTimer(verbose=True).on_segment if verbose
+                      else None)
+        res = value_iteration_segmented(
+            plan, cost, sweeps, segment_size=segment_size, backup=backup,
+            checkpoint_path=checkpoint_path,
+            checkpoint_axes=grid.axes,   # true 1-D axes either layout
+            init_values=init_values, start_sweep=start_sweep,
+            narrow_argmin_result=flat_solve,
+            tol=tol, tol_mode=tol_mode, on_segment=on_segment)
+        return FullSolution(cfg, grid, res)
     on_sweep = sweep_callback(verbose)
     return FullSolution(cfg, grid,
                         _jit_solve(plan, cost, backup, sweeps, on_sweep))

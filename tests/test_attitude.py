@@ -185,3 +185,23 @@ def test_rollout_full_flat_matches_nonflat():
     np.testing.assert_array_equal(np.asarray(X_fl), np.asarray(X_nf))
     with pytest.raises(ValueError, match="nearest"):
         attitude.rollout_full(sol_fl, x0, method="interp", num_stages=10)
+
+
+def test_solve_full_segmented_checkpoint_resume(tmp_path):
+    """The model-level envelope form: solve_full(segment_size=...) with a
+    checkpoint, killed and resumed — bitwise the one-shot solve (flat +
+    padded-carry forced small, as the envelope auto modes would pick)."""
+    from ocdp_tpu.io import load_values
+
+    cfg = attitude.AttitudeConfig(n_mesh_w=5, n_mesh_q=4)
+    ref = attitude.solve_full(cfg, num_sweeps=8, impl="pallas", flat=True)
+    ckpt = str(tmp_path / "att6.npz")
+    attitude.solve_full(cfg, num_sweeps=5, impl="pallas", flat=True,
+                        segment_size=3, checkpoint_path=ckpt)
+    v, sweep, _ = load_values(ckpt)
+    assert sweep == 5
+    got = attitude.solve_full(cfg, num_sweeps=8, impl="pallas", flat=True,
+                              segment_size=3, init_values=v,
+                              start_sweep=sweep)
+    np.testing.assert_array_equal(got.values_6d(), ref.values_6d())
+    np.testing.assert_array_equal(got.argmin_6d(), ref.argmin_6d())
