@@ -51,6 +51,13 @@ def _add_common(p):
 
 def cmd_solve(args):
     t0 = time.time()
+    if args.problem != "attitude-full":
+        # loud rejection, not silent ignoring (VERDICT r4 item 8 class)
+        for flag in ("segment_size", "checkpoint", "resume", "tol"):
+            if getattr(args, flag, None):
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')} applies to "
+                    f"'solve attitude-full' only (got {args.problem!r})")
     if args.problem == "kirk":
         import dataclasses
 
@@ -84,10 +91,29 @@ def cmd_solve(args):
         cfg = attitude.AttitudeConfig(n_mesh_w=args.n_mesh_w,
                                       n_mesh_q=args.n_mesh_q)
         kw = {"edge": args.edge} if args.edge else {}
+        if args.checkpoint:
+            # the envelope form: segmented solve + per-segment checkpoint,
+            # resumable with --resume (io.load_values); --tol adds the
+            # converged stop rule at segment boundaries
+            kw["segment_size"] = args.segment_size or 50
+            kw["checkpoint_path"] = args.checkpoint
+            kw["tol"] = args.tol
+            kw["tol_mode"] = args.tol_mode
+            if args.resume:
+                from .io import load_values
+
+                v, sweep, _ = load_values(args.checkpoint)
+                kw["init_values"], kw["start_sweep"] = v, sweep
+        elif args.segment_size:
+            kw["segment_size"] = args.segment_size
+            kw["tol"] = args.tol
+            kw["tol_mode"] = args.tol_mode
         sol = attitude.solve_full(cfg, num_sweeps=args.sweeps,
                                   impl=args.impl, verbose=not args.quiet,
                                   **kw)
-        out = {"values_sum": float(np.asarray(sol.result.values).sum())}
+        out = {"values_sum": float(np.asarray(sol.result.values).sum()),
+               "sweeps": int(sol.result.num_sweeps),
+               "converged": bool(sol.result.converged)}
     else:
         from .models import pos_att
 
@@ -186,6 +212,19 @@ def main(argv=None):
     ps.add_argument("--out", default=None, help="controller save dir (pos-att)")
     ps.add_argument("--n-mesh-w", type=int, default=15, dest="n_mesh_w")
     ps.add_argument("--n-mesh-q", type=int, default=9, dest="n_mesh_q")
+    ps.add_argument("--segment-size", type=int, default=None,
+                    dest="segment_size",
+                    help="attitude-full: run segmented (host-visible "
+                         "boundaries; enables --checkpoint/--tol)")
+    ps.add_argument("--checkpoint", default=None,
+                    help="attitude-full: npz path written after every "
+                         "segment (implies --segment-size 50 if unset)")
+    ps.add_argument("--resume", action="store_true",
+                    help="attitude-full: resume from --checkpoint")
+    ps.add_argument("--tol", type=float, default=None,
+                    help="attitude-full segmented: converged stop rule "
+                         "tolerance at segment boundaries (with "
+                         "--tol-mode)")
     ps.set_defaults(fn=cmd_solve)
 
     pr = sub.add_parser("rollout", help="solve + closed-loop rollout")

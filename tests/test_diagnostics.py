@@ -207,3 +207,31 @@ def test_cli_flag_matrix_smoke(capsys, monkeypatch, tmp_path):
         main(argv)
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["problem"] == argv[1]
+
+
+def test_cli_attitude_full_checkpoint_flags(capsys, monkeypatch, tmp_path):
+    """solve attitude-full --segment-size/--checkpoint/--resume/--tol run
+    the segmented envelope form; other problems reject the flags loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from ocdp_tpu.__main__ import main
+
+    ck = str(tmp_path / "att.npz")
+    main(["solve", "attitude-full", "--n-mesh-w", "5", "--n-mesh-q", "4",
+          "--sweeps", "6", "--segment-size", "3", "--checkpoint", ck,
+          "--quiet"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sweeps"] == 6
+    from ocdp_tpu.io import load_values
+
+    _, sweep, _ = load_values(ck)
+    assert sweep == 6
+    main(["solve", "attitude-full", "--n-mesh-w", "5", "--n-mesh-q", "4",
+          "--sweeps", "9", "--segment-size", "3", "--checkpoint", ck,
+          "--resume", "--quiet"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sweeps"] == 3        # 9 total, 6 resumed
+    with _pytest.raises(SystemExit, match="attitude-full"):
+        main(["solve", "kirk", "--checkpoint", ck])
