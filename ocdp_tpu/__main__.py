@@ -6,6 +6,9 @@ defaults as named configs.
 
 Commands:
   solve    {kirk|position|attitude|attitude-full|pos-att} [--out DIR] [...]
+           attitude-full also takes --segment-size/--checkpoint/--resume/
+           --tol (the segmented envelope form: per-segment npz checkpoints,
+           converged-rule early stop at segment boundaries)
   rollout  {kirk|position|attitude-full|pos-att} [--plot DIR] [...]
   bench    (the Kirk backups/s benchmark; same as bench.py)
 """
