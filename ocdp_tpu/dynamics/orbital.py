@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "MU_EARTH",
@@ -149,9 +150,25 @@ def target_orbit_R0V0(*, perigee_alt=300.0, e=0.1, mu=MU_EARTH):
     """The reference target orbit: 300-km-perigee, e=0.1, equatorial.
 
     get_target_R0V0 (Solver_position.m:313-331; Solver_pos_att.m:734-752).
+
+    Runs PINNED to the host CPU backend and memoized: these are a dozen
+    eager scalar ops whose FIRST dispatch each costs ~1 s through the
+    axon TPU tunnel — unpinned, this one constant-returning call added
+    ~13 s to a fresh process's first rollout (measured round 5).
     """
-    rp = _R_EARTH + perigee_alt
-    ra = rp * (1 + e) / (1 - e)
-    h = jnp.sqrt(2 * mu * rp * ra / (ra + rp))
-    zero = jnp.asarray(0.0)
-    return sv_from_coe(h, e, zero, zero, zero, zero, mu=mu)
+    key = (perigee_alt, e, mu)
+    hit = _R0V0_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        rp = _R_EARTH + perigee_alt
+        ra = rp * (1 + e) / (1 - e)
+        h = jnp.sqrt(2 * mu * rp * ra / (ra + rp))
+        zero = jnp.asarray(0.0)
+        R0, V0 = sv_from_coe(h, e, zero, zero, zero, zero, mu=mu)
+        R0, V0 = np.asarray(R0), np.asarray(V0)
+    _R0V0_CACHE[key] = (R0, V0)
+    return R0, V0
+
+
+_R0V0_CACHE: dict = {}

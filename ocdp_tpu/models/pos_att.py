@@ -669,12 +669,16 @@ def default_x0(pitch_deg: float = 3.0):
     """
     from ..utils.quaternions import euler_zyx_to_quat
 
-    q0 = euler_zyx_to_quat(jnp.asarray(0.0), jnp.deg2rad(pitch_deg),
-                           jnp.asarray(0.0))
-    return jnp.concatenate([
-        jnp.array([-0.1, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32),
-        q0.astype(jnp.float32),
-        jnp.zeros(3, jnp.float32),
+    # host numpy throughout: eager device ops' first dispatches cost ~1 s
+    # each through the axon tunnel; callers feed this to a jit, which
+    # transfers it with the other arguments in one hop
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        q0 = np.asarray(euler_zyx_to_quat(
+            jnp.asarray(0.0), jnp.deg2rad(pitch_deg), jnp.asarray(0.0)))
+    return np.concatenate([
+        np.array([-0.1, 0.0, 0.0, 0.0, 0.0, 0.0], np.float32),
+        q0.astype(np.float32),
+        np.zeros(3, np.float32),
     ])
 
 
@@ -717,10 +721,15 @@ def _build_policy_lookup(ctrls) -> _PolicyLookup:
     tables = np.stack([
         np.asarray(c.forces, np.float32)[np.asarray(c.argmin).reshape(-1)].T
         for c in ctrls])
-    affs = [affine_axes(c.axes) for c in ctrls]
-    aff = jax.tree.map(lambda *xs: jnp.stack(xs), *affs)
-    lookup = _PolicyLookup(jnp.asarray(tables), aff,
-                           jnp.asarray(strides, jnp.int32))
+    # build the whole lookup HOST-side, then ship it in ONE device_put:
+    # each eager device op's first dispatch costs ~1 s through the axon
+    # tunnel, and a per-leaf jnp.stack/asarray chain here added seconds
+    # to every fresh process's first rollout (measured round 5)
+    affs = [affine_axes(c.axes, host=True) for c in ctrls]
+    aff = jax.tree.map(lambda *xs: np.stack(xs), *affs)
+    lookup = jax.device_put(
+        _PolicyLookup(tables, aff, strides.astype(np.int32)),
+        jax.devices()[0])
     if len(_policy_lookup_cache) >= 8:
         _policy_lookup_cache.pop(next(iter(_policy_lookup_cache)))
     _policy_lookup_cache[key] = (tuple(ctrls), lookup)
@@ -775,12 +784,12 @@ def get_optimal_path(
     ctrls = [sol.controllers["x_failure" if ch == "x" and use_x_failure
                              else ch] for ch in CHANNELS]
     lookup = _build_policy_lookup(ctrls)
-    y0 = default_x0() if x0 is None else jnp.asarray(x0, jnp.float32)
+    y0 = default_x0() if x0 is None else np.asarray(x0, np.float32)
     return _closed_loop(
         lookup, y0,
-        jnp.asarray(R0, jnp.float32), jnp.asarray(V0, jnp.float32),
-        jnp.asarray(cfg.inertia_matrix, jnp.float32),
-        jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32),
+        np.asarray(R0, np.float32), np.asarray(V0, np.float32),
+        np.asarray(cfg.inertia_matrix, np.float32),
+        np.asarray(np.linalg.inv(cfg.inertia_matrix), np.float32),
         n=n, h=h, arm=cfg.moment_arm, mass=cfg.mass,
         accel_scale=cfg.accel_scale, integrator=integrator, ode_tol=ode_tol)
 
@@ -884,14 +893,14 @@ def rollout_batch(
     ctrls = [sol.controllers["x_failure" if ch == "x" and use_x_failure
                              else ch] for ch in CHANNELS]
     lookup = _build_policy_lookup(ctrls)
-    y0s = jnp.asarray(x0s, jnp.float32)
+    y0s = np.asarray(x0s, np.float32)
     if y0s.ndim != 2 or y0s.shape[-1] != 13:
         raise ValueError(f"x0s must be (B, 13), got {y0s.shape}")
     T, X, F_th, FM = _closed_loop_batch(
         lookup, y0s,
-        jnp.asarray(R0, jnp.float32), jnp.asarray(V0, jnp.float32),
-        jnp.asarray(cfg.inertia_matrix, jnp.float32),
-        jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32),
+        np.asarray(R0, np.float32), np.asarray(V0, np.float32),
+        np.asarray(cfg.inertia_matrix, np.float32),
+        np.asarray(np.linalg.inv(cfg.inertia_matrix), np.float32),
         n=n, h=h, arm=cfg.moment_arm, mass=cfg.mass,
         accel_scale=cfg.accel_scale, integrator=integrator, ode_tol=ode_tol)
     return T[0], X, F_th, FM
@@ -925,7 +934,7 @@ def receding_horizon(
         if cfg is None:
             cfg = PosAttConfig.high_res()
         sol = solve(cfg, include_failure=include_failure, impl=impl)
-    traj = get_optimal_path(sol, jnp.asarray(x0, jnp.float32),
+    traj = get_optimal_path(sol, np.asarray(x0, np.float32),
                             t_final=t_final,
                             use_x_failure=include_failure)
     return sol, traj

@@ -260,11 +260,17 @@ class AffineAxes(NamedTuple):
     axmat: jax.Array
 
 
-def affine_axes(axes: Sequence[np.ndarray], dtype=np.float32) -> AffineAxes:
+def affine_axes(axes: Sequence[np.ndarray], dtype=np.float32,
+                host: bool = False) -> AffineAxes:
     """Build :class:`AffineAxes` for axes with at most two uniform pieces.
 
     Raises ``ValueError`` for axes that are not piecewise-uniform with a
     single breakpoint (callers fall back to :func:`nearest_eval`).
+
+    ``host=True`` keeps the leaves numpy (no device placement) — for
+    callers that batch several AffineAxes host-side and ship the result
+    in one ``device_put`` (the per-leaf placements are ~free locally but
+    each costs a round trip through a device tunnel).
     """
     a0, brk, dl, dr, z, n = [], [], [], [], [], []
     max_n = max(np.asarray(a).size for a in axes)
@@ -294,9 +300,11 @@ def affine_axes(axes: Sequence[np.ndarray], dtype=np.float32) -> AffineAxes:
         n.append(float(a.size))
         mats.append(np.pad(a.astype(dtype), (0, max_n - a.size),
                            mode="edge"))
-    f = lambda v: jnp.asarray(np.asarray(v, dtype))  # noqa: E731
-    return AffineAxes(f(a0), f(brk), f(dl), f(dr), f(z), f(n),
-                      jnp.asarray(np.stack(mats)))
+    cast = (lambda v: np.asarray(v, dtype)) if host \
+        else (lambda v: jnp.asarray(np.asarray(v, dtype)))  # noqa: E731
+    stacked = np.stack(mats)
+    return AffineAxes(cast(a0), cast(brk), cast(dl), cast(dr), cast(z),
+                      cast(n), stacked if host else jnp.asarray(stacked))
 
 
 def nearest_cell_index(aff: AffineAxes, q: jax.Array) -> jax.Array:
