@@ -426,3 +426,16 @@ def test_min_only_sweep_matches_tracking_values(small_problem):
     np.testing.assert_array_equal(np.asarray(got.values),
                                   np.asarray(ref.values))
     assert not np.any(np.asarray(got.argmin))
+
+
+def test_auto_row_tile_formula():
+    """ONE tile formula shared by the single-chip kernel and halo6's
+    row-shard builder (round-5 measured cap; a second hand-maintained
+    copy is how the halo engines silently kept slower tiles once)."""
+    import ocdp_tpu.parallel.halo6 as h6
+    from ocdp_tpu.ops.pallas_backup6 import auto_row_tile
+
+    assert auto_row_tile(1024) == 16       # flagship NEp: measured best
+    assert auto_row_tile(2816) == 8        # envelope NEp: measured best
+    assert auto_row_tile(128) == 16        # cap, not the 32K target
+    assert h6.auto_row_tile is auto_row_tile
