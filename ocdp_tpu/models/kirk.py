@@ -82,24 +82,30 @@ def build(config: KirkConfig = KirkConfig()) -> KirkProblem:
     Next-state tensors mirror ``a_D_M`` (test/Dynamic_Solver.m:184-188):
     ``x' = A x + B u`` broadcast over the (x1, x2, u) grid. Stage cost mirrors
     ``g_D`` (:196-200): ``Q11 x1^2 + Q22 x2^2 + R u^2``.
+
+    The eager precompute runs PINNED to the host CPU backend (the shared
+    build pattern — each eager op's first dispatch through the axon TPU
+    tunnel costs ~1 s; the solve jit transfers the finished arrays).
     """
     s_r = linspace_axis(config.x_min, config.x_max, config.dx)
     u_mesh = linspace_axis(config.u_min, config.u_max, config.du)
     grid = Grid((s_r, s_r))
 
-    x1 = jnp.asarray(s_r)[:, None, None]
-    x2 = jnp.asarray(s_r)[None, :, None]
-    u = jnp.asarray(u_mesh)[None, None, :]
-    (a11, a12), (a21, a22) = config.A
-    b1, b2 = config.B
-    x1n = a11 * x1 + a12 * x2 + b1 * u
-    x2n = a21 * x1 + a22 * x2 + b2 * u
-    plan = build_plan(grid.axes, (x1n, x2n))
-    # built FROM the separable split so the recompose invariant the shear
-    # kernel's cost_terms mode verifies holds by construction
-    s_c, a_c = _separable_cost_terms(config)
-    stage_cost = s_c[:, :, None] + a_c[None, None, :]
-    stage_cost = jnp.broadcast_to(stage_cost, (config.dx, config.dx, config.du)).astype(jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        x1 = jnp.asarray(s_r)[:, None, None]
+        x2 = jnp.asarray(s_r)[None, :, None]
+        u = jnp.asarray(u_mesh)[None, None, :]
+        (a11, a12), (a21, a22) = config.A
+        b1, b2 = config.B
+        x1n = a11 * x1 + a12 * x2 + b1 * u
+        x2n = a21 * x1 + a22 * x2 + b2 * u
+        plan = build_plan(grid.axes, (x1n, x2n))
+        # built FROM the separable split so the recompose invariant the
+        # shear kernel's cost_terms mode verifies holds by construction
+        s_c, a_c = _separable_cost_terms(config)
+        stage_cost = s_c[:, :, None] + a_c[None, None, :]
+        stage_cost = jnp.broadcast_to(
+            stage_cost, (config.dx, config.dx, config.du)).astype(jnp.float32)
     return KirkProblem(config, grid, u_mesh, plan, stage_cost)
 
 

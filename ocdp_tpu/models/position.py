@@ -128,20 +128,23 @@ def build(config: PositionConfig = PositionConfig()) -> PositionProblem:
     chan = np.arange(cfg.n_channels, dtype=np.float32)
     grid = Grid((chan, s_x, s_v))
 
-    # broadcast-shaped queries over (channel, x, v, u); channel never moves
-    c = jnp.asarray(chan)[:, None, None, None]
-    x = jnp.asarray(s_x)[None, :, None, None]
-    v = jnp.asarray(s_v)[None, None, :, None]
-    u = jnp.asarray(cfg.u_vector)[None, None, None, :]
+    # broadcast-shaped queries over (channel, x, v, u); channel never
+    # moves. PINNED to the host CPU backend (the shared build pattern —
+    # eager first dispatches cost ~1 s each through the axon tunnel)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        c = jnp.asarray(chan)[:, None, None, None]
+        x = jnp.asarray(s_x)[None, :, None, None]
+        v = jnp.asarray(s_v)[None, None, :, None]
+        u = jnp.asarray(cfg.u_vector)[None, None, None, :]
 
-    x_next = x + cfg.h * v * _x_step_coeff(cfg.h, cfg.rk4_x_parity)
-    v_next = v + cfg.h * u / cfg.mass
-    plan = build_plan(grid.axes, (c, x_next, v_next))
+        x_next = x + cfg.h * v * _x_step_coeff(cfg.h, cfg.rk4_x_parity)
+        v_next = v + cfg.h * u / cfg.mass
+        plan = build_plan(grid.axes, (c, x_next, v_next))
 
-    Qx = jnp.asarray(cfg.Qx, jnp.float32)[:, None, None, None]
-    Qv = jnp.asarray(cfg.Qv, jnp.float32)[:, None, None, None]
-    R = jnp.asarray(cfg.R, jnp.float32)[:, None, None, None]
-    stage_cost = Qx * x**2 + Qv * v**2 + R * u**2
+        Qx = jnp.asarray(cfg.Qx, jnp.float32)[:, None, None, None]
+        Qv = jnp.asarray(cfg.Qv, jnp.float32)[:, None, None, None]
+        R = jnp.asarray(cfg.R, jnp.float32)[:, None, None, None]
+        stage_cost = Qx * x**2 + Qv * v**2 + R * u**2
     return PositionProblem(cfg, grid, plan, stage_cost)
 
 
