@@ -191,6 +191,7 @@ def get_optimal_path(
     *,
     t_final: Optional[float] = None,
     ode_tol: float = 1e-8,
+    device="auto",
 ):
     """Closed-loop rollout vs. the eccentric-target relative-motion plant.
 
@@ -198,18 +199,58 @@ def get_optimal_path(
     'nearest' policy lookup per channel, then RKF45 integration of the CW
     equations with the target propagated by universal-variable Kepler.
 
+    ``device='auto'`` runs the scan on the host CPU backend when the
+    default device is an accelerator — a single flight is sequential
+    scalar work, and the adaptive RKF45 while_loops are latency-bound on
+    a tunneled chip (same routing as pos_att.get_optimal_path: measured
+    21.7 s/repeat on the v5e vs sub-second on the host). The jitted scan
+    is module-level, so repeated rollouts reuse one compile.
+
     Returns (T, X, U): times (N,), states (N, 6), controls (N-1, 3).
     """
+    from .pos_att import _rollout_device
+
     cfg = sol.problem.config
-    axes = sol.problem.grid.axes[1:]  # (x, v)
-    tables = sol.u_tables             # (C, nx, nv)
+    axes = tuple(np.asarray(a) for a in sol.problem.grid.axes[1:])  # (x, v)
     h = cfg.h
     n = cfg.n_stage if t_final is None else int(np.ceil(t_final / h))
     R0, V0 = target_orbit_R0V0()
+    dev = _rollout_device(device)
+    tables = jax.device_put(np.asarray(sol.u_tables), dev)  # (C, nx, nv)
+    with jax.default_device(dev):
+        return _position_closed_loop(
+            tables, _HashableAxes(axes), np.asarray(y0, np.float32),
+            np.asarray(R0, np.float32), np.asarray(V0, np.float32),
+            n=n, h=h, accel_scale=cfg.accel_scale, ode_tol=ode_tol)
+
+
+class _HashableAxes:
+    """Small grid axes as a hashable static jit argument."""
+
+    def __init__(self, arrays):
+        self.arrays = tuple(np.asarray(a) for a in arrays)
+        self._key = tuple((a.shape, a.dtype.str, a.tobytes())
+                          for a in self.arrays)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableAxes) and self._key == other._key
+
+
+@partial(jax.jit, static_argnames=("axes", "n", "h", "accel_scale",
+                                   "ode_tol"))
+def _position_closed_loop(tables, axes, y0, R0, V0, *, n, h, accel_scale,
+                          ode_tol):
+    """The scan behind :func:`get_optimal_path`, one cached module-level
+    jit (``axes`` ride static as hashable tuples-of-bytes via
+    ``_HashableAxes`` — they are small host constants)."""
+    ax = tuple(jnp.asarray(a) for a in axes.arrays)
 
     def policy(y):
-        a = [nearest_eval(tables[i], axes, (y[i], y[3 + i])) for i in range(3)]
-        return jnp.stack(a) * cfg.accel_scale
+        a = [nearest_eval(tables[i], ax, (y[i], y[3 + i])) for i in range(3)]
+        return jnp.stack(a) * accel_scale
 
     def step(carry, k):
         y = carry
@@ -219,8 +260,8 @@ def get_optimal_path(
         y_next = rkf45_integrate(f, t, t + h, y, tol=ode_tol)
         return y_next, (y, accel)
 
-    y0 = jnp.asarray(y0, jnp.float32)
-    y_fin, (X, U) = jax.lax.scan(step, y0, jnp.arange(n - 1))
+    y_fin, (X, U) = jax.lax.scan(step, jnp.asarray(y0, jnp.float32),
+                                 jnp.arange(n - 1))
     X = jnp.concatenate([X, y_fin[None]], axis=0)
     T = jnp.arange(n) * h
     return T, X, U
