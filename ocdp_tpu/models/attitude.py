@@ -955,6 +955,7 @@ def rollout_full(
     *,
     method: str = "nearest",
     num_stages: Optional[int] = None,
+    device: str = "auto",
 ):
     """Full-policy rollout with taylor (Euler) steps (:744-833).
 
@@ -966,56 +967,70 @@ def rollout_full(
     Flat solutions support ``method='nearest'`` only (the reference's
     policy-rollout interpolant); small solves also offer 'interp'.
 
+    ``device='auto'`` runs the sequential single-flight scan on the host
+    CPU backend (the pos_att routing; a 6000-step chip scan measured
+    9 s/run latency-bound) — EXCEPT when the policy source is too big to
+    pull through the tunnel (> 64 MB, i.e. envelope-scale flat argmin),
+    which stays on its device.
+
     Returns (X, U, ANGLES): states (N, 7), torques (N-1, 3), Euler angles
     (N-1, 3).
     """
+    from .pos_att import _rollout_device
+
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
     axes = sol.grid.axes
-    inertia_d = jnp.asarray(np.diag(cfg.inertia_diag), jnp.float32)
-    inertia_d_inv = jnp.asarray(np.diag(1.0 / np.asarray(cfg.inertia_diag)),
-                                jnp.float32)
+    dev = _rollout_device(device)
     if sol.is_flat:
-        if method != "nearest":
-            raise ValueError(
-                "flat-layout solutions support method='nearest' only "
-                "(6-D interpolated torque tables would have to be "
-                "materialized)")
-        from ..ops.interp import affine_axes, nearest_cell_index
+        a = sol.result.argmin
+        if a.size * a.dtype.itemsize > 64 * 1024 * 1024:
+            dev = jax.devices()[0]      # too big to pull through the tunnel
+    with jax.default_device(dev):
+        inertia_d = jnp.asarray(np.diag(cfg.inertia_diag), jnp.float32)
+        inertia_d_inv = jnp.asarray(
+            np.diag(1.0 / np.asarray(cfg.inertia_diag)), jnp.float32)
+        if sol.is_flat:
+            if method != "nearest":
+                raise ValueError(
+                    "flat-layout solutions support method='nearest' only "
+                    "(6-D interpolated torque tables would have to be "
+                    "materialized)")
+            from ..ops.interp import affine_axes, nearest_cell_index
 
-        aff = affine_axes(axes)
-        shape = sol.grid.shape
-        argmin_flat = sol.result.argmin     # (NW, NE), rows = omega cells
-        u_vec = jnp.asarray(cfg.u_vector)
-        row_mul = jnp.asarray(
-            [shape[1] * shape[2], shape[2], 1, 0, 0, 0], jnp.int32)
-        lane_mul = jnp.asarray(
-            [0, 0, 0, shape[4] * shape[5], shape[5], 1], jnp.int32)
+            aff = affine_axes(axes)
+            shape = sol.grid.shape
+            argmin_flat = jax.device_put(sol.result.argmin, dev)
+            u_vec = jnp.asarray(cfg.u_vector)
+            row_mul = jnp.asarray(
+                [shape[1] * shape[2], shape[2], 1, 0, 0, 0], jnp.int32)
+            lane_mul = jnp.asarray(
+                [0, 0, 0, shape[4] * shape[5], shape[5], 1], jnp.int32)
 
-        def lookup(pt):
-            idx = nearest_cell_index(aff, jnp.stack(pt))
-            a = argmin_flat[jnp.sum(idx * row_mul),
-                            jnp.sum(idx * lane_mul)].astype(jnp.int32)
-            return jnp.stack(decode_torque_digits(a, u_vec))
-    else:
-        tables = sol.u_tables
-        eval_fn = nearest_eval if method == "nearest" else (
-            lambda t, a, p: interp_eval(t, a, p))
+            def lookup(pt):
+                idx = nearest_cell_index(aff, jnp.stack(pt))
+                a = argmin_flat[jnp.sum(idx * row_mul),
+                                jnp.sum(idx * lane_mul)].astype(jnp.int32)
+                return jnp.stack(decode_torque_digits(a, u_vec))
+        else:
+            tables = jax.device_put(np.asarray(sol.u_tables), dev)
+            eval_fn = nearest_eval if method == "nearest" else (
+                lambda t, a, p: interp_eval(t, a, p))
 
-        def lookup(pt):
-            return jnp.stack([eval_fn(tables[i], axes, pt)
-                              for i in range(3)])
+            def lookup(pt):
+                return jnp.stack([eval_fn(tables[i], axes, pt)
+                                  for i in range(3)])
 
-    def step(X, _):
-        yaw, pitch, roll = euler_from_kirk_quat(X[3:7])
-        U = lookup((X[0], X[1], X[2], yaw, pitch, roll))
-        X_dot = attitude_rates_kirk(X, U, inertia_d, inertia_d_inv)
-        X_next = _renorm_q(X + cfg.h * X_dot)
-        return X_next, (X, U, jnp.stack([yaw, pitch, roll]))
+        def step(X, _):
+            yaw, pitch, roll = euler_from_kirk_quat(X[3:7])
+            U = lookup((X[0], X[1], X[2], yaw, pitch, roll))
+            X_dot = attitude_rates_kirk(X, U, inertia_d, inertia_d_inv)
+            X_next = _renorm_q(X + cfg.h * X_dot)
+            return X_next, (X, U, jnp.stack([yaw, pitch, roll]))
 
-    X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
-    X_fin, (X, U, ang) = jax.lax.scan(step, X0, None, length=n - 1)
-    X = jnp.concatenate([X, X_fin[None]], axis=0)
+        X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
+        X_fin, (X, U, ang) = jax.lax.scan(step, X0, None, length=n - 1)
+        X = jnp.concatenate([X, X_fin[None]], axis=0)
     return X, U, ang
 
 
