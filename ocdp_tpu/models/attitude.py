@@ -1049,30 +1049,33 @@ def rollout_simplified_plant(
     to the angles of the standard X0 with zero rates). Returns (X, U) with
     X (N, 3, 2) and U (N-1, 3).
     """
+    from .pos_att import _rollout_device
+
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
     c_h = _quirk(cfg.h, cfg.rk4_t_parity)
-    if x0 is None:
-        q = AttitudeConfig.default_x0()[3:7]
-        theta = 2.0 * jnp.arcsin(jnp.clip(q[:3], -1.0, 1.0))
-        x0 = jnp.stack([jnp.zeros(3), theta], axis=1)
-    tables = sol.u_tables
-    axes = sol.axes
-    J = jnp.asarray(cfg.inertia_diag)
+    with jax.default_device(_rollout_device("auto")):  # single flight ->
+        if x0 is None:                                 # host (pos_att doc)
+            q = AttitudeConfig.default_x0()[3:7]
+            theta = 2.0 * jnp.arcsin(jnp.clip(q[:3], -1.0, 1.0))
+            x0 = jnp.stack([jnp.zeros(3), theta], axis=1)
+        tables = [jnp.asarray(np.asarray(t)) for t in sol.u_tables]
+        axes = sol.axes
+        J = jnp.asarray(cfg.inertia_diag)
 
-    def step(X, _):
-        U = jnp.stack([
-            nearest_eval(tables[i], axes[i], (X[i, 0], X[i, 1]))
-            for i in range(3)
-        ])
-        w_next = X[:, 0] + cfg.h * U / J
-        t_next = X[:, 1] + cfg.h * X[:, 0] * c_h
-        X_next = jnp.stack([w_next, t_next], axis=1)
-        return X_next, (X, U)
+        def step(X, _):
+            U = jnp.stack([
+                nearest_eval(tables[i], axes[i], (X[i, 0], X[i, 1]))
+                for i in range(3)
+            ])
+            w_next = X[:, 0] + cfg.h * U / J
+            t_next = X[:, 1] + cfg.h * X[:, 0] * c_h
+            X_next = jnp.stack([w_next, t_next], axis=1)
+            return X_next, (X, U)
 
-    X0 = jnp.asarray(x0, jnp.float32)
-    X_fin, (X, U) = jax.lax.scan(step, X0, None, length=n - 1)
-    X = jnp.concatenate([X, X_fin[None]], axis=0)
+        X0 = jnp.asarray(x0, jnp.float32)
+        X_fin, (X, U) = jax.lax.scan(step, X0, None, length=n - 1)
+        X = jnp.concatenate([X, X_fin[None]], axis=0)
     return X, U
 
 
@@ -1093,29 +1096,34 @@ def rollout_simplified_real_dynamics(
     keeps each pair's reference defaults; an explicit value sets rkf45's
     tol, or ode45's RelTol with AbsTol at MATLAB's 1e-3 ratio."""
     from ..utils.integrators import integrator_kwargs
+    from .pos_att import _rollout_device
 
     cfg = sol.config
     n = (num_stages or cfg.n_stage)
     _adaptive, _kw = integrator_kwargs(integrator, ode_tol)
-    inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)
-    inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix), jnp.float32)
-    tables = sol.u_tables
-    axes = sol.axes
+    with jax.default_device(_rollout_device("auto")):  # single flight ->
+        inertia = jnp.asarray(cfg.inertia_matrix, jnp.float32)  # host
+        inertia_inv = jnp.asarray(np.linalg.inv(cfg.inertia_matrix),
+                                  jnp.float32)
+        tables = [jnp.asarray(np.asarray(t)) for t in sol.u_tables]
+        axes = sol.axes
 
-    def step(carry, k):
-        X = carry
-        theta = 2.0 * jnp.arcsin(jnp.clip(X[3:6], -1.0, 1.0))
-        U = jnp.stack([
-            nearest_eval(tables[i], axes[i], (X[i], theta[i])) for i in range(3)
-        ])
-        f = lambda t, y: attitude_rates_kirk(y, U, inertia, inertia_inv)  # noqa: E731
-        t0 = k * cfg.h
-        X_next = _renorm_q(_adaptive(f, t0, t0 + cfg.h, X, **_kw))
-        return X_next, (X, U)
+        def step(carry, k):
+            X = carry
+            theta = 2.0 * jnp.arcsin(jnp.clip(X[3:6], -1.0, 1.0))
+            U = jnp.stack([
+                nearest_eval(tables[i], axes[i], (X[i], theta[i]))
+                for i in range(3)
+            ])
+            f = lambda t, y: attitude_rates_kirk(y, U, inertia,  # noqa: E731
+                                                 inertia_inv)
+            t0 = k * cfg.h
+            X_next = _renorm_q(_adaptive(f, t0, t0 + cfg.h, X, **_kw))
+            return X_next, (X, U)
 
-    X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
-    X_fin, (X, U) = jax.lax.scan(step, X0, jnp.arange(n - 1))
-    X = jnp.concatenate([X, X_fin[None]], axis=0)
+        X0 = AttitudeConfig.default_x0() if x0 is None else jnp.asarray(x0)
+        X_fin, (X, U) = jax.lax.scan(step, X0, jnp.arange(n - 1))
+        X = jnp.concatenate([X, X_fin[None]], axis=0)
     return X, U
 
 
