@@ -262,24 +262,32 @@ def optimal_path(
     steady-state-u experiment, :127-131).
 
     Returns (X, U): X is (N, 2) states, U is (N-1,) controls.
+
+    Runs on the host CPU backend (the single-flight routing measured for
+    pos_att: a 199-step sequential scan is latency-bound on a tunneled
+    chip — 1.0 s there vs ~ms on the host; the per-stage policy tables
+    are a few MB, pulled once).
     """
+    from .pos_att import _rollout_device
+
     cfg = sol.problem.config
     axes = sol.problem.grid.axes
-    u_star = sol.u_star  # (N-1, dx, dx)
-    A = jnp.asarray(cfg.A, jnp.float32)
-    B = jnp.asarray(cfg.B, jnp.float32)
+    with jax.default_device(_rollout_device("auto")):
+        u_star = jnp.asarray(np.asarray(sol.u_star))  # (N-1, dx, dx)
+        A = jnp.asarray(cfg.A, jnp.float32)
+        B = jnp.asarray(cfg.B, jnp.float32)
 
-    if mode == "ssu":
-        tables = jnp.broadcast_to(u_star[ssu_num], u_star.shape)
-    else:
-        tables = u_star
+        if mode == "ssu":
+            tables = jnp.broadcast_to(u_star[ssu_num], u_star.shape)
+        else:
+            tables = u_star
 
-    def step(x, table):
-        u = interp_eval(table, axes, (x[0], x[1]))
-        x_next = A @ x + B * u
-        return x_next, (x, u)
+        def step(x, table):
+            u = interp_eval(table, axes, (x[0], x[1]))
+            x_next = A @ x + B * u
+            return x_next, (x, u)
 
-    x0 = jnp.asarray(x0, jnp.float32)
-    x_final, (X, U) = jax.lax.scan(step, x0, tables)
-    X = jnp.concatenate([X, x_final[None]], axis=0)
+        x0 = jnp.asarray(x0, jnp.float32)
+        x_final, (X, U) = jax.lax.scan(step, x0, tables)
+        X = jnp.concatenate([X, x_final[None]], axis=0)
     return X, U
